@@ -1,0 +1,240 @@
+"""Configuration system.
+
+Replaces the reference's three config mechanisms (ROS parameter server with
+`~`-namespaced per-node params, argparse, and launch-file indirection — see
+reference src/unet_ros_node.py:262-278, src/yolo_detector.py:350-354,
+launch/yolo_debug.launch) with a single dataclass + file + CLI-override stack:
+
+  cfg = load_config(PipelineConfig, "pipe.yaml", overrides=["threshold=0.6"])
+
+Files may be YAML (if pyyaml is present) or JSON. Overrides use dotted
+`key=value` strings, mirroring ROS's `_param:=value` syntax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+# ---------------------------------------------------------------------------
+# Model configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """U-Net topology config.
+
+    Two presets exist in the reference with different depth/width:
+      * the *deployed* 3-level INT8 model (reference model/lane_unet.rknn graph
+        metadata: 14 ConvRelu / 3 MaxPool / 3 ConvTranspose / 3 Concat,
+        ~2.3 MB int8), and
+      * the *documented* 4-level training model (reference README.md:1417-1491,
+        features [64,128,256,512], bottleneck 1024, ~31 M params).
+    `deployed()` / `readme()` build each.
+    """
+
+    in_channels: int = 3
+    out_channels: int = 1
+    features: tuple = (32, 64, 128)
+    use_batchnorm: bool = True
+    # The shipped RKNN graph has sigmoid fused into the model (its output
+    # quant range is [0,1]); the README training model emits logits. Keep it
+    # explicit instead of the reference's output-range heuristic
+    # (reference src/unet.py:63-64).
+    final_sigmoid: bool = False
+
+    @staticmethod
+    def deployed() -> "UNetConfig":
+        return UNetConfig(features=(32, 64, 128))
+
+    @staticmethod
+    def readme() -> "UNetConfig":
+        return UNetConfig(features=(64, 128, 256, 512))
+
+
+@dataclass(frozen=True)
+class ResNetConfig:
+    """ResNet backbone + regression-head config.
+
+    Covers both lane-point regressors in the reference:
+      * 4 x-coordinates at fixed bird's-eye rows (reference
+        src/resnet50_node.py:25-29): ``num_outputs=4``.
+      * 6 (x, y) centerline points (reference src/rknpu_inference.py:18-90):
+        ``num_outputs=12``.
+    """
+
+    depth: int = 50
+    num_outputs: int = 4
+    # Normalized outputs in [0, 1]; a sigmoid head keeps them bounded.
+    final_sigmoid: bool = True
+
+
+@dataclass(frozen=True)
+class YoloConfig:
+    """YOLOv8-style detector config (reference src/tool.py decode math).
+
+    The reference runs 11- and 12-class variants (src/yolo_debug.py:47 vs
+    src/yolo_detector.py:67) at 640x640 with 3 FPN branches (strides 8/16/32)
+    and DFL box regression with 16 bins.
+    """
+
+    num_classes: int = 12
+    img_size: tuple = (640, 640)
+    dfl_bins: int = 16
+    strides: tuple = (8, 16, 32)
+    width_mult: float = 0.25
+    depth_mult: float = 0.33
+    obj_thresh: float = 0.25  # reference src/tool.py:5
+    nms_thresh: float = 0.45  # reference src/tool.py:6
+
+
+# ---------------------------------------------------------------------------
+# Pipeline / runtime configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PipelineConfig:
+    """Lane-segmentation streaming pipeline config.
+
+    Field-for-field superset of the ROS params of the reference node
+    (src/unet_ros_node.py:262-278) plus the IPM geometry hard-coded there
+    (src/unet_ros_node.py:239-259).
+    """
+
+    model_path: str = ""
+    threshold: float = 0.5
+    input_topic: str = "/image_rect_color"
+    output_topic: str = "/mask"
+    input_size: tuple = (224, 224)
+    # IPM (inverse-perspective mapping) quad: src trapezoid in the camera
+    # frame -> dst rectangle in the bird's-eye frame.
+    ipm_src_points: tuple = ((29, 347), (619, 368), (202, 238), (422, 248))
+    ipm_dst_points: tuple = ((300, 580), (755, 580), (300, 100), (755, 100))
+    ipm_output_size: tuple = (1055, 685)  # (width, height)
+    # Normalization baked into the deployed model (RKNN graph metadata;
+    # ImageNet mean/std * 255): README.md:3110-3113.
+    mean: tuple = (123.675, 116.28, 103.53)
+    std: tuple = (58.395, 57.12, 57.375)
+    apply_sigmoid: bool = True
+    batch_size: int = 32
+    backend: str = "tpu"  # tpu | cpu | int8
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass
+class TrainConfig:
+    """Training config — mirrors the reference's documented TrainConfig
+    dataclass (README.md:1530-1582) with TPU-native additions."""
+
+    # data
+    data_root: str = "./dataset"
+    image_size: tuple = (224, 224)
+    synthetic: bool = True  # reference dataset is not shipped; generate one
+    num_train: int = 512
+    num_val: int = 64
+
+    # model
+    in_channels: int = 3
+    out_channels: int = 1
+    features: tuple = (32, 64, 128)
+
+    # optimization (README.md:1545-1554)
+    batch_size: int = 8
+    epochs: int = 100
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    scheduler: str = "cosine"  # cosine warm restarts, T0=10 (README.md:2177)
+    warmup_epochs: int = 5
+    min_lr: float = 1e-6
+    cosine_t0: int = 10
+
+    # early stopping (README.md:1556-1559)
+    early_stopping: bool = True
+    patience: int = 15
+    min_delta: float = 1e-4
+
+    # loss (README.md:1561-1564, :1855-1907)
+    loss_type: str = "bce_dice"  # bce | dice | bce_dice | focal
+    bce_weight: float = 0.5
+    dice_weight: float = 0.5
+    pos_weight: float = 3.0
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+
+    # checkpoints (README.md:1566-1569)
+    save_dir: str = "./checkpoints"
+    save_best_only: bool = True
+    save_every_n_epochs: int = 10
+
+    # misc
+    seed: int = 42
+    compute_dtype: str = "bfloat16"  # AMP analogue (README.md:1574)
+
+    # parallelism (no reference equivalent — single-board app)
+    data_axis: int = 1  # devices along the batch ("data") mesh axis
+    spatial_axis: int = 1  # devices along the image-height ("spatial") axis
+
+
+# ---------------------------------------------------------------------------
+# Loading / overrides
+# ---------------------------------------------------------------------------
+
+
+def _coerce(value: str, target_type: Any):
+    if target_type is bool:
+        return value.lower() in ("1", "true", "yes", "on")
+    if target_type is int:
+        return int(value)
+    if target_type is float:
+        return float(value)
+    if target_type is tuple:
+        return tuple(json.loads(value))
+    return value
+
+
+def _apply(cfg: Any, key: str, value: Any) -> None:
+    parts = key.split(".")
+    obj = cfg
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    name = parts[-1]
+    if not hasattr(obj, name):
+        raise KeyError(f"unknown config key: {key}")
+    current = getattr(obj, name)
+    if isinstance(value, str) and current is not None and not isinstance(current, str):
+        value = _coerce(value, type(current))
+    if isinstance(current, tuple) and isinstance(value, list):
+        value = tuple(value)
+    if dataclasses.is_dataclass(obj) and obj.__dataclass_params__.frozen:
+        object.__setattr__(obj, name, value)
+    else:
+        setattr(obj, name, value)
+
+
+def load_config(cls, path: str | None = None, overrides: Sequence[str] = ()):
+    """Build a config dataclass from an optional file + `key=value` overrides."""
+    cfg = cls()
+    if path:
+        if path.endswith((".yaml", ".yml")):
+            import yaml  # optional dep; gate at use-site
+
+            with open(path) as f:
+                data = yaml.safe_load(f) or {}
+        else:
+            with open(path) as f:
+                data = json.load(f)
+        for k, v in data.items():
+            _apply(cfg, k, v)
+    for ov in overrides:
+        k, _, v = ov.partition("=")
+        _apply(cfg, k.strip(), v.strip())
+    return cfg
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,133 @@
+"""Calibration + quantized UNet construction.
+
+Pipeline parity with the reference's RKNN conversion flow
+(README.md:3079-3202): collect activation ranges over 50-200 calibration
+images (scene-coverage quota, README.md:3313-3336), quantize weights
+per-channel symmetric + activations per-layer asymmetric int8, and build a
+deployable quantized model.
+
+Two execution modes:
+  * ``fakequant`` — quantize-dequantize around fp convs: the accuracy
+    semantics of the int8 graph with fp throughput (the RKNN-simulator
+    analogue, reference src/py_utils/rknn_executor.py:12-15);
+  * ``int8``     — true int8 convs on the MXU: int8 x int8 -> int32
+    accumulate with asymmetric zero-point correction
+    (acc - z_x * sum(w_q)) * s_x * s_w + b, then requantize at the next
+    layer boundary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from lanetpu.quant.fold import unet_layer_plan
+from lanetpu.quant.functional_unet import unet_forward_folded
+from lanetpu.quant.qtensor import (
+    QuantParams,
+    asymmetric_qparams,
+    quantize_asymmetric,
+    quantize_symmetric_per_channel,
+)
+
+
+def calibrate_unet(folded: dict, features, calib_batches: Iterable) -> dict:
+    """Collect per-conv-layer input activation ranges.
+
+    calib_batches yields normalized [N, H, W, C] float arrays (the exact
+    tensors the model will see). Returns {layer_name: (min, max)}.
+    """
+    ranges: dict[str, list] = {}
+
+    def hook(x, kernel, bias, name, relu):
+        lo = float(jnp.min(x))
+        hi = float(jnp.max(x))
+        if name in ranges:
+            ranges[name][0] = min(ranges[name][0], lo)
+            ranges[name][1] = max(ranges[name][1], hi)
+        else:
+            ranges[name] = [lo, hi]
+        y = lax.conv_general_dilated(
+            x, jnp.asarray(kernel), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + jnp.asarray(bias)
+        return jax.nn.relu(y) if relu else y
+
+    for batch in calib_batches:
+        unet_forward_folded(folded, jnp.asarray(batch, jnp.float32), features,
+                            conv_hook=hook)
+    return {k: (v[0], v[1]) for k, v in ranges.items()}
+
+
+@dataclass
+class QuantizedUNet:
+    """Deployable int8 U-Net artifact (the .rknn-blob analogue)."""
+
+    features: tuple
+    folded: dict            # fp params (transpose convs, reference path)
+    wq: dict                # name -> int8 kernel
+    w_scale: dict           # name -> per-channel scale (broadcastable)
+    w_sum: dict             # name -> per-out-channel sum of int8 weights
+    bias: dict              # name -> f32 bias
+    act_qp: dict            # name -> QuantParams for the conv input
+    final_sigmoid: bool = False
+
+    # -- forward modes --------------------------------------------------
+
+    def _hook_fakequant(self, x, kernel, bias, name, relu):
+        qp = self.act_qp[name]
+        xq = quantize_asymmetric(x, qp)
+        x_dq = (xq.astype(jnp.float32) - qp.zero_point) * qp.scale
+        wq = jnp.asarray(self.wq[name], jnp.float32) * jnp.asarray(
+            self.w_scale[name])
+        y = lax.conv_general_dilated(
+            x_dq, wq, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + jnp.asarray(
+                self.bias[name])
+        return jax.nn.relu(y) if relu else y
+
+    def _hook_int8(self, x, kernel, bias, name, relu):
+        qp = self.act_qp[name]
+        xq = quantize_asymmetric(x, qp)
+        acc = lax.conv_general_dilated(
+            xq, jnp.asarray(self.wq[name]), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        corr = jnp.asarray(self.w_sum[name], jnp.int32) * jnp.int32(
+            qp.zero_point)
+        scale = jnp.float32(qp.scale) * jnp.asarray(
+            self.w_scale[name], jnp.float32).reshape(1, 1, 1, -1)
+        y = (acc - corr).astype(jnp.float32) * scale + jnp.asarray(
+            self.bias[name])
+        return jax.nn.relu(y) if relu else y
+
+    def forward(self, x, mode: str = "int8"):
+        hook = {"fakequant": self._hook_fakequant,
+                "int8": self._hook_int8, "fp": None}[mode]
+        return unet_forward_folded(self.folded, x, self.features,
+                                   conv_hook=hook,
+                                   final_sigmoid=self.final_sigmoid)
+
+    def make_jitted(self, mode: str = "int8"):
+        return jax.jit(partial(self.forward, mode=mode))
+
+
+def quantize_unet(folded: dict, features, act_ranges: dict,
+                  final_sigmoid: bool = False) -> QuantizedUNet:
+    """Build the quantized artifact from folded fp params + calibration."""
+    wq, w_scale, w_sum, bias, act_qp = {}, {}, {}, {}, {}
+    for name, (lo, hi) in act_ranges.items():
+        q, qp = quantize_symmetric_per_channel(folded[name]["kernel"], axis=-1)
+        wq[name] = q
+        w_scale[name] = qp.scale  # [1, 1, 1, cout]
+        w_sum[name] = q.astype(np.int32).sum(axis=(0, 1, 2))  # [cout]
+        bias[name] = folded[name]["bias"]
+        act_qp[name] = asymmetric_qparams(lo, hi)
+    return QuantizedUNet(features=tuple(features), folded=folded, wq=wq,
+                         w_scale=w_scale, w_sum=w_sum, bias=bias,
+                         act_qp=act_qp, final_sigmoid=final_sigmoid)

@@ -1,0 +1,209 @@
+"""Executor layer: backend-agnostic `.run()` engines.
+
+Parity target: the reference's three executors behind one interface —
+`Container(model_path).run(inputs: list[np.ndarray]) -> list[np.ndarray]`
+plus `.release()` (reference src/py_utils/rknn_executor.py:26-42,
+onnx_executor.py:69-75, pytorch_executor.py:24-52), selected by file
+extension (src/yolo_detector.py:223-238).
+
+Here the "backends" are XLA compilation targets of the *same* Flax model:
+  * ``tpu``  — bf16 compute on the TPU (the production path; the analogue of
+               the RKNN/NPU backend),
+  * ``cpu``  — f32 on the host CPU (the parity/CI reference, analogue of the
+               ONNX CPUExecutionProvider path and the RKNN simulator mode in
+               rknn_executor.py:12-15),
+  * ``fp32`` — f32 on the default device (the "golden" path, analogue of the
+               TorchScript fp32 executor),
+  * ``int8`` — quantized path (see lanetpu.quant).
+
+Model artifacts are flax msgpack checkpoints (``.msgpack``) with a small
+JSON header describing the architecture, produced by `save_checkpoint`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+MAGIC = b"LTPU"
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint container format
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, variables: dict, meta: dict) -> None:
+    """Write a model artifact: MAGIC | u32 header_len | json header | msgpack.
+
+    `meta` identifies the architecture (e.g. {"arch": "unet",
+    "features": [32, 64, 128], ...}) so `load_engine` can rebuild the module.
+    This replaces the reference's opaque .rknn blobs (src/py_utils/
+    rknn_executor.py:9) with a self-describing container.
+    """
+    header = json.dumps(meta).encode("utf-8")
+    payload = serialization.to_bytes(variables)
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<I", len(header)))
+        f.write(header)
+        f.write(payload)
+
+
+def load_checkpoint(path: str, template: dict | None = None):
+    """Read (meta, variables) from a model artifact."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != MAGIC:
+            raise ValueError(f"{path}: not a lanetpu checkpoint")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        meta = json.loads(f.read(hlen).decode("utf-8"))
+        payload = f.read()
+    if template is not None:
+        variables = serialization.from_bytes(template, payload)
+    else:
+        variables = serialization.msgpack_restore(payload)
+    return meta, variables
+
+
+# ---------------------------------------------------------------------------
+# Engines
+# ---------------------------------------------------------------------------
+
+
+class Engine:
+    """Backend-agnostic executor interface (reference rknn_executor.py:26-42)."""
+
+    def run(self, inputs: Sequence[np.ndarray]) -> list:
+        raise NotImplementedError
+
+    def release(self) -> None:
+        pass
+
+
+class XLAEngine(Engine):
+    """A jit-compiled Flax forward as an executor.
+
+    `apply_fn(variables, *inputs)` is traced once per input shape/dtype and
+    cached; `.run()` accepts host numpy arrays and returns host numpy arrays,
+    mirroring the reference executors' contract. Prefer the higher-level
+    pipelines (LaneSegmenter etc.) in hot loops — they keep data on device.
+    """
+
+    def __init__(self, apply_fn: Callable, variables: dict,
+                 backend: str = "tpu", compute_dtype=jnp.float32):
+        self.backend = backend
+        self.compute_dtype = compute_dtype
+        devices = jax.devices("cpu") if backend == "cpu" else jax.devices()
+        self.device = devices[0]
+        self._variables = jax.device_put(variables, self.device)
+        self._jitted = jax.jit(apply_fn)
+
+    def run(self, inputs: Sequence[np.ndarray]) -> list:
+        dev_inputs = [jax.device_put(np.asarray(x), self.device) for x in inputs]
+        out = self._jitted(self._variables, *dev_inputs)
+        leaves = jax.tree_util.tree_leaves(out)
+        return [np.asarray(x) for x in leaves]
+
+    def release(self) -> None:
+        self._variables = None
+
+
+_ARCH_BUILDERS: dict[str, Callable] = {}
+
+
+def register_arch(name: str):
+    def deco(fn):
+        _ARCH_BUILDERS[name] = fn
+        return fn
+    return deco
+
+
+@register_arch("unet")
+def _build_unet(meta: dict):
+    from lanetpu.core.config import UNetConfig
+    from lanetpu.models.unet import UNet
+
+    cfg = UNetConfig(
+        in_channels=meta.get("in_channels", 3),
+        out_channels=meta.get("out_channels", 1),
+        features=tuple(meta.get("features", (32, 64, 128))),
+        final_sigmoid=meta.get("final_sigmoid", False),
+    )
+    return UNet(config=cfg)
+
+
+@register_arch("resnet_regressor")
+def _build_resnet(meta: dict):
+    from lanetpu.core.config import ResNetConfig
+    from lanetpu.models.resnet import ResNetRegressor
+
+    cfg = ResNetConfig(
+        depth=meta.get("depth", 50),
+        num_outputs=meta.get("num_outputs", 4),
+    )
+    return ResNetRegressor(config=cfg)
+
+
+@register_arch("yolo")
+def _build_yolo(meta: dict):
+    from lanetpu.core.config import YoloConfig
+    from lanetpu.models.yolo import YoloDetector
+
+    cfg = YoloConfig(
+        num_classes=meta.get("num_classes", 12),
+        width_mult=meta.get("width_mult", 0.25),
+        depth_mult=meta.get("depth_mult", 0.33),
+    )
+    return YoloDetector(config=cfg)
+
+
+def load_engine(model_path: str, backend: str = "tpu") -> tuple:
+    """Load a checkpoint and build (module, variables, meta).
+
+    The extension-dispatch analogue of the reference's setup_model
+    (src/yolo_detector.py:223-238), except the artifact is self-describing.
+    """
+    meta, variables = load_checkpoint(model_path)
+    arch = meta.get("arch")
+    if arch not in _ARCH_BUILDERS:
+        raise ValueError(f"unknown arch {arch!r} in {model_path}")
+    module = _ARCH_BUILDERS[arch](meta)
+    return module, variables, meta
+
+
+class Stopwatch:
+    """Per-stage wall-clock profiler (README.md:4425-4450 PerformanceProfiler)."""
+
+    def __init__(self):
+        self.stages: dict[str, list] = {}
+
+    def measure(self, name: str):
+        sw = self
+
+        class _Ctx:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+                return self
+
+            def __exit__(self, *exc):
+                sw.stages.setdefault(name, []).append(time.perf_counter() - self.t0)
+
+        return _Ctx()
+
+    def summary(self) -> dict:
+        return {
+            k: {"mean_ms": float(np.mean(v) * 1e3),
+                "p50_ms": float(np.percentile(v, 50) * 1e3),
+                "p99_ms": float(np.percentile(v, 99) * 1e3),
+                "count": len(v)}
+            for k, v in self.stages.items()
+        }

@@ -1,0 +1,246 @@
+"""Lane-segmentation inference pipelines.
+
+Capability parity with `RKNNLaneInference` (reference src/unet.py:14-156) and
+the streaming node's per-frame path (src/unet_ros_node.py:292-338), designed
+TPU-first: instead of host-OpenCV pre/postprocessing around a single device
+call, the *entire* frame->mask chain — optional IPM warp, resize to 224x224,
+normalize, U-Net, sigmoid, threshold, resize back — is one jitted XLA
+program, batched over frames.
+
+Two entry pipelines:
+  * `LaneSegmenter.predict(frame)`           — RGB frame -> binary mask
+    (parity with src/unet.py:74-97)
+  * `LaneSegmenter.predict_warped(frame_bgr)`— raw BGR camera frame ->
+    IPM-warped bird's-eye mask (parity with the full callback chain
+    src/unet_ros_node.py:292-321: warp -> BGR->RGB -> predict)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lanetpu.core.config import PipelineConfig, UNetConfig
+from lanetpu.models.unet import UNet
+from lanetpu.ops.normalize import normalize_image
+from lanetpu.ops.resize import resize_bilinear
+from lanetpu.ops.warp import get_perspective_transform, warp_perspective
+
+
+class LaneSegmenter:
+    """Batched lane segmentation engine around a Flax U-Net."""
+
+    def __init__(self, module: UNet | None = None, variables: dict | None = None,
+                 config: PipelineConfig | None = None, rng_seed: int = 0):
+        self.cfg = config or PipelineConfig()
+        self.module = module or UNet(config=UNetConfig.deployed())
+        if variables is None:
+            h, w = self.cfg.input_size
+            variables = self.module.init(
+                jax.random.PRNGKey(rng_seed), jnp.zeros((1, h, w, 3), jnp.float32)
+            )
+        if self.cfg.backend == "cpu":
+            self.device = jax.devices("cpu")[0]
+        else:
+            self.device = jax.devices()[0]
+        self.variables = jax.device_put(variables, self.device)
+        self.compute_dtype = jnp.dtype(self.cfg.compute_dtype)
+        # IPM homography, computed once on the host
+        # (reference src/unet_ros_node.py:255).
+        self.ipm_matrix = get_perspective_transform(
+            self.cfg.ipm_src_points, self.cfg.ipm_dst_points
+        )
+        self._jit_cache: dict[tuple, Any] = {}
+
+    # ------------------------------------------------------------------
+    # Fused device programs
+    # ------------------------------------------------------------------
+
+    def _forward_prob(self, frames_rgb: jnp.ndarray) -> jnp.ndarray:
+        """[N, h, w, 3] uint8 RGB -> [N, 224, 224] probabilities."""
+        ih, iw = self.cfg.input_size
+        x = resize_bilinear(frames_rgb, (ih, iw))
+        x = normalize_image(x, self.cfg.mean, self.cfg.std,
+                            dtype=self.compute_dtype)
+        logits = self.module.apply(self.variables, x, train=False)
+        prob = logits[..., 0].astype(jnp.float32)
+        if self.cfg.apply_sigmoid and not self.module.config.final_sigmoid:
+            prob = jax.nn.sigmoid(prob)
+        return prob
+
+    def _predict_fn(self, frames_rgb, threshold):
+        """uint8 RGB frames -> uint8 {0..255} masks at input resolution.
+
+        Threshold-then-resize, matching reference src/unet.py:63-70 (the
+        224x224 binary mask is bilinearly resized back, so edge pixels take
+        intermediate values exactly as cv2.resize produces).
+        """
+        h, w = frames_rgb.shape[1:3]
+        prob = self._forward_prob(frames_rgb)
+        binary = (prob > threshold).astype(jnp.uint8) * jnp.uint8(255)
+        return resize_bilinear(binary[..., None], (h, w))[..., 0]
+
+    def _predict_warped_fn(self, frames_bgr, threshold):
+        """Raw BGR camera frames -> bird's-eye binary masks.
+
+        Fuses the reference's host chain (src/unet_ros_node.py:300-313):
+        warpPerspective to 1055x685, BGR->RGB, then predict — one XLA launch.
+        """
+        ow, oh = self.cfg.ipm_output_size
+        warped = warp_perspective(frames_bgr, self.ipm_matrix, (ow, oh))
+        rgb = warped[..., ::-1]
+        prob = self._forward_prob(rgb)
+        binary = (prob > threshold).astype(jnp.uint8) * jnp.uint8(255)
+        return resize_bilinear(binary[..., None], (oh, ow))[..., 0]
+
+    def _get_jitted(self, kind: str):
+        fn = self._jit_cache.get(kind)
+        if fn is None:
+            raw = {"plain": self._predict_fn, "warped": self._predict_warped_fn,
+                   "prob": lambda f, t: self._forward_prob(f)}[kind]
+            fn = jax.jit(raw)
+            self._jit_cache[kind] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # Public API (parity with RKNNLaneInference)
+    # ------------------------------------------------------------------
+
+    def predict_batch(self, frames_rgb: np.ndarray, threshold: float | None = None,
+                      warped_input: bool = False) -> np.ndarray:
+        """[N, H, W, 3] uint8 frames -> [N, H, W] uint8 masks (device-batched)."""
+        threshold = self.cfg.threshold if threshold is None else threshold
+        kind = "warped" if warped_input else "plain"
+        fn = self._get_jitted(kind)
+        x = jax.device_put(jnp.asarray(frames_rgb, dtype=jnp.uint8), self.device)
+        out = fn(x, jnp.float32(threshold))
+        if warped_input:
+            # output is already in the bird's-eye frame
+            pass
+        return np.asarray(out)
+
+    def predict(self, image, threshold: float | None = None):
+        """Single RGB frame (or path) -> (mask, inference_time).
+
+        Contract parity with reference src/unet.py:74-97: accepts an image
+        path or array, returns a uint8 mask at the input resolution and the
+        wall-clock device time.
+        """
+        if isinstance(image, str):
+            image = _imread_rgb(image)
+        t0 = time.perf_counter()
+        mask = self.predict_batch(image[None], threshold)[0]
+        dt = time.perf_counter() - t0
+        return mask, dt
+
+    def predict_warped(self, frame_bgr: np.ndarray, threshold: float | None = None):
+        """Raw BGR camera frame -> (bird's-eye mask, time). One device launch."""
+        threshold = self.cfg.threshold if threshold is None else threshold
+        fn = self._get_jitted("warped")
+        t0 = time.perf_counter()
+        x = jax.device_put(jnp.asarray(frame_bgr[None], dtype=jnp.uint8), self.device)
+        out = np.asarray(fn(x, jnp.float32(threshold))[0])
+        return out, time.perf_counter() - t0
+
+    def predict_prob(self, frames_rgb: np.ndarray) -> np.ndarray:
+        """[N, H, W, 3] uint8 -> [N, 224, 224] float probabilities."""
+        fn = self._get_jitted("prob")
+        x = jax.device_put(jnp.asarray(frames_rgb, dtype=jnp.uint8), self.device)
+        return np.asarray(fn(x, jnp.float32(0.5)))
+
+    # ------------------------------------------------------------------
+    # Video / benchmark (parity with src/unet.py:99-188)
+    # ------------------------------------------------------------------
+
+    def predict_video(self, video_path: str, output_path: str,
+                      threshold: float | None = None, batch_size: int | None = None):
+        """Segment a video file, writing a JET-overlay result video.
+
+        Batched equivalent of reference src/unet.py:99-146.
+        Requires OpenCV for codec I/O (gated import).
+        """
+        import cv2
+
+        bs = batch_size or self.cfg.batch_size
+        cap = cv2.VideoCapture(video_path)
+        fps = int(cap.get(cv2.CAP_PROP_FPS)) or 30
+        width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        out = cv2.VideoWriter(output_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                              fps, (width, height))
+        frame_count, total_time = 0, 0.0
+        done = False
+        while not done:
+            frames = []
+            for _ in range(bs):
+                ret, frame = cap.read()
+                if not ret:
+                    done = True
+                    break
+                frames.append(frame)
+            if not frames:
+                break
+            batch = np.stack(frames)[..., ::-1]  # BGR -> RGB
+            t0 = time.perf_counter()
+            masks = self.predict_batch(batch, threshold)
+            total_time += time.perf_counter() - t0
+            for frame, mask in zip(frames, masks):
+                colored = cv2.applyColorMap(mask, cv2.COLORMAP_JET)
+                result = cv2.addWeighted(frame, 0.7, colored, 0.3, 0)
+                out.write(result)
+                frame_count += 1
+            if frame_count % 30 < bs:
+                print(f"Processed {frame_count} frames, "
+                      f"avg FPS: {frame_count / max(total_time, 1e-9):.1f}")
+        cap.release()
+        out.release()
+        fps_avg = frame_count / max(total_time, 1e-9)
+        print(f"Video done. Average FPS: {fps_avg:.1f}")
+        return fps_avg
+
+    def benchmark(self, batch_size: int | None = None, num_runs: int = 100,
+                  warmup: int = 10, warped: bool = False, image=None) -> dict:
+        """Throughput benchmark (reference src/unet.py:152-188: 10 warmup +
+        100 timed runs, avg/std/min/max + FPS), batched."""
+        bs = batch_size or self.cfg.batch_size
+        if image is None:
+            if warped:
+                shape = (bs, 480, 640, 3)
+            else:
+                oh, ow = 685, 1055
+                shape = (bs, oh, ow, 3)
+            rng = np.random.default_rng(0)
+            batch = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        else:
+            batch = np.broadcast_to(image, (bs,) + image.shape).copy()
+        from lanetpu.utils.timing import time_fn
+
+        fn = self._get_jitted("warped" if warped else "plain")
+        thr = jnp.float32(self.cfg.threshold)
+        x = jax.device_put(jnp.asarray(batch), self.device)
+        stats = time_fn(fn, x, thr, warmup=warmup, runs=num_runs)
+        stats["batch_size"] = bs
+        stats["fps"] = float(bs / (stats["avg_ms"] / 1e3))
+        return stats
+
+    def release(self):
+        self.variables = None
+        self._jit_cache.clear()
+
+
+def _imread_rgb(path: str) -> np.ndarray:
+    """Read an image file as RGB uint8 (PIL; cv2 fallback)."""
+    try:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))
+    except ImportError:
+        import cv2
+
+        return cv2.imread(path)[..., ::-1]

@@ -1,0 +1,176 @@
+"""On-device batched data augmentation in jnp.
+
+Parity with the reference's albumentations pipeline (README.md:2035-2055):
+HorizontalFlip(0.5), Rotate(±15°, 0.5), RandomBrightnessContrast(±0.3, 0.7),
+HueSaturationValue(±30, 0.7) — the white-balance robustness augmentation —
+GaussianBlur(0.3), then ImageNet normalize.
+
+TPU-first: the whole augmentation is one vmapped jnp program over the batch
+(the host only supplies uint8 images + a PRNG key), so it fuses with the
+train step and costs no host round-trip. Masks ride through the geometric
+transforms with nearest sampling.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lanetpu.ops.normalize import normalize_image
+
+
+# ---------------------------------------------------------------------------
+# Color-space helpers
+# ---------------------------------------------------------------------------
+
+
+def rgb_to_hsv(rgb):
+    """[..., 3] RGB in [0,1] -> HSV with H in [0,1]."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-8), 0.0)
+    safe = jnp.maximum(delta, 1e-8)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = jnp.where(delta == 0, 0.0, h)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Geometric transforms (single image, vmapped)
+# ---------------------------------------------------------------------------
+
+
+def _rotate(img, angle_rad, nearest=False):
+    """Rotate [H, W, C] around the center, border 0 (albumentations default)."""
+    h, w = img.shape[0], img.shape[1]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    cos, sin = jnp.cos(angle_rad), jnp.sin(angle_rad)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+    # inverse mapping
+    sx = cos * xs + sin * ys + cx
+    sy = -sin * xs + cos * ys + cy
+    if nearest:
+        xi = jnp.round(sx).astype(jnp.int32)
+        yi = jnp.round(sy).astype(jnp.int32)
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi = jnp.clip(xi, 0, w - 1)
+        yi = jnp.clip(yi, 0, h - 1)
+        out = img[yi, xi]
+        return jnp.where(valid[..., None], out, 0.0)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    fx = sx - x0
+    fy = sy - y0
+
+    def tap(yi, xi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        return jnp.where(valid[..., None], v, 0.0)
+
+    out = (tap(y0, x0) * ((1 - fy) * (1 - fx))[..., None]
+           + tap(y0, x0 + 1) * ((1 - fy) * fx)[..., None]
+           + tap(y0 + 1, x0) * (fy * (1 - fx))[..., None]
+           + tap(y0 + 1, x0 + 1) * (fy * fx)[..., None])
+    return out
+
+
+def _blur(img, sigma):
+    """Separable 5-tap Gaussian blur, sigma traced."""
+    offsets = jnp.arange(-2, 3, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (offsets / jnp.maximum(sigma, 1e-3)) ** 2)
+    k = k / k.sum()
+    # rows
+    out = sum(k[i] * jnp.roll(img, int(i) - 2, axis=0) for i in range(5))
+    out = sum(k[i] * jnp.roll(out, int(i) - 2, axis=1) for i in range(5))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+def _augment_one(img_u8, mask, key, max_rotate_deg=15.0):
+    """img [H, W, 3] uint8, mask [H, W, 1] float -> augmented (float img 0-255,
+    mask)."""
+    keys = jax.random.split(key, 8)
+    img = img_u8.astype(jnp.float32)
+
+    # HorizontalFlip p=0.5
+    do_flip = jax.random.bernoulli(keys[0])
+    img = jnp.where(do_flip, img[:, ::-1], img)
+    mask = jnp.where(do_flip, mask[:, ::-1], mask)
+
+    # Rotate ±15° p=0.5
+    do_rot = jax.random.bernoulli(keys[1])
+    angle = jax.random.uniform(keys[2], minval=-1.0, maxval=1.0) * (
+        max_rotate_deg * jnp.pi / 180.0)
+    angle = jnp.where(do_rot, angle, 0.0)
+    img = _rotate(img, angle)
+    mask = _rotate(mask, angle, nearest=True)
+
+    # RandomBrightnessContrast ±0.3 p=0.7
+    do_bc = jax.random.bernoulli(keys[3], 0.7)
+    b = jax.random.uniform(keys[4], minval=-0.3, maxval=0.3)
+    c = jax.random.uniform(keys[5], minval=-0.3, maxval=0.3)
+    bright = jnp.where(do_bc, b, 0.0)
+    contrast = jnp.where(do_bc, c, 0.0)
+    img = (img - 127.5) * (1.0 + contrast) + 127.5 + bright * 255.0
+
+    # HueSaturationValue ±30 p=0.7 (white-balance robustness)
+    do_hsv = jax.random.bernoulli(keys[6], 0.7)
+    shifts = jax.random.uniform(keys[7], (3,), minval=-30.0, maxval=30.0)
+    hsv = rgb_to_hsv(jnp.clip(img, 0, 255) / 255.0)
+    h = (hsv[..., 0] + jnp.where(do_hsv, shifts[0] / 360.0, 0.0)) % 1.0
+    s = jnp.clip(hsv[..., 1] + jnp.where(do_hsv, shifts[1] / 255.0, 0.0), 0, 1)
+    v = jnp.clip(hsv[..., 2] + jnp.where(do_hsv, shifts[2] / 255.0, 0.0), 0, 1)
+    img = hsv_to_rgb(jnp.stack([h, s, v], axis=-1)) * 255.0
+
+    return jnp.clip(img, 0, 255), mask
+
+
+@partial(jax.jit, static_argnames=("blur_prob",))
+def augment_batch(images_u8, masks, key, blur_prob: float = 0.3):
+    """[B, H, W, 3] uint8 + [B, H, W, 1] masks -> (normalized float images,
+    masks), the train-time input pipeline."""
+    b = images_u8.shape[0]
+    keys = jax.random.split(key, b + 2)
+    imgs, masks = jax.vmap(_augment_one)(images_u8, masks, keys[:b])
+    # Batch-level blur with per-sample sigma
+    do_blur = jax.random.bernoulli(keys[b], blur_prob, (b,))
+    sigmas = jax.random.uniform(keys[b + 1], (b,), minval=0.5, maxval=1.8)
+    blurred = jax.vmap(_blur)(imgs, sigmas)
+    imgs = jnp.where(do_blur[:, None, None, None], blurred, imgs)
+    return normalize_image(imgs), masks
+
+
+@jax.jit
+def preprocess_eval_batch(images_u8, masks):
+    """Validation path: normalize only (README.md:2050-2054)."""
+    return normalize_image(images_u8.astype(jnp.float32)), masks

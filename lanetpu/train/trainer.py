@@ -1,0 +1,169 @@
+"""Training loop with checkpointing, early stopping, and device prefetch.
+
+Loop parity with the reference's documented train/validate functions
+(README.md:2060-2253): per-epoch train + validate, Dice-based best
+checkpoint, periodic every-N-epoch saves, early stop with patience, seed 42
+determinism. TPU-native substitutions: optax AdamW + warm-restart cosine,
+on-device augmentation (`augment_batch`), host->device prefetch of the next
+batch while the current step runs, msgpack/orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lanetpu.core.config import TrainConfig, UNetConfig
+from lanetpu.models.unet import UNet
+from lanetpu.runtime.engine import save_checkpoint
+from lanetpu.train.augment import augment_batch, preprocess_eval_batch
+from lanetpu.train.steps import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from lanetpu.train.synthetic import SyntheticLaneDataset
+
+
+def _prefetch(iterator: Iterator, device) -> Iterator:
+    """One-deep host->device prefetch: the next batch's H2D copy overlaps
+    with the current step's compute (the training-side analogue of the
+    double-buffered streaming pipeline, README.md:4316-4341)."""
+    pending = None
+    for batch in iterator:
+        nxt = tuple(jax.device_put(jnp.asarray(x), device) for x in batch)
+        if pending is not None:
+            yield pending
+        pending = nxt
+    if pending is not None:
+        yield pending
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig | None = None, module=None):
+        self.cfg = cfg or TrainConfig()
+        self.module = module or UNet(
+            config=UNetConfig(features=tuple(self.cfg.features)))
+        self.device = jax.devices()[0]
+
+        self.train_ds = SyntheticLaneDataset(
+            self.cfg.num_train, seed=self.cfg.seed,
+            image_size=tuple(self.cfg.image_size))
+        self.val_ds = SyntheticLaneDataset(
+            self.cfg.num_val, seed=self.cfg.seed + 1,
+            image_size=tuple(self.cfg.image_size),
+            offset=self.cfg.num_train)
+
+        steps_per_epoch = max(1, self.cfg.num_train // self.cfg.batch_size)
+        self.steps_per_epoch = steps_per_epoch
+        self.state: TrainState = create_train_state(
+            self.module, jax.random.PRNGKey(self.cfg.seed), self.cfg,
+            steps_per_epoch)
+        self._train_step = jax.jit(make_train_step(self.cfg))
+        self._eval_step = jax.jit(make_eval_step(self.cfg))
+        self.history: list[dict] = []
+
+    # ------------------------------------------------------------------
+
+    def train_epoch(self, epoch: int, rng: np.random.Generator) -> dict:
+        key = jax.random.PRNGKey(self.cfg.seed * 1000 + epoch)
+        metrics_acc = []
+        batches = self.train_ds.batches(self.cfg.batch_size, shuffle=True,
+                                        rng=rng)
+        for i, (imgs, masks) in enumerate(_prefetch(batches, self.device)):
+            key, sub = jax.random.split(key)
+            x, y = augment_batch(imgs, masks, sub)
+            self.state, metrics = self._train_step(self.state, x, y)
+            metrics_acc.append(metrics)
+        stacked = {k: float(np.mean([float(m[k]) for m in metrics_acc]))
+                   for k in metrics_acc[0]}
+        return stacked
+
+    def validate(self) -> dict:
+        metrics_acc = []
+        batches = self.val_ds.batches(self.cfg.batch_size, shuffle=False,
+                                      drop_last=False)
+        for imgs, masks in _prefetch(batches, self.device):
+            x, y = preprocess_eval_batch(imgs, masks)
+            metrics_acc.append(self._eval_step(self.state, x, y))
+        return {k: float(np.mean([float(m[k]) for m in metrics_acc]))
+                for k in metrics_acc[0]}
+
+    # ------------------------------------------------------------------
+
+    def _checkpoint_meta(self) -> dict:
+        mcfg = self.module.config
+        return {
+            "arch": "unet",
+            "in_channels": mcfg.in_channels,
+            "out_channels": mcfg.out_channels,
+            "features": list(mcfg.features),
+            "final_sigmoid": mcfg.final_sigmoid,
+        }
+
+    def save(self, path: str, extra: dict | None = None):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        meta = self._checkpoint_meta()
+        if extra:
+            meta.update(extra)
+        save_checkpoint(path, variables, meta)
+
+    def fit(self, epochs: int | None = None, verbose: bool = True) -> dict:
+        """Run the full loop. Returns {best_dice, best_epoch, history}."""
+        cfg = self.cfg
+        epochs = epochs or cfg.epochs
+        rng = np.random.default_rng(cfg.seed)
+        best_dice, best_epoch, since_best = -1.0, -1, 0
+
+        for epoch in range(epochs):
+            t0 = time.time()
+            train_m = self.train_epoch(epoch, rng)
+            val_m = self.validate()
+            dt = time.time() - t0
+            record = {"epoch": epoch, "time_s": round(dt, 2),
+                      **{f"train_{k}": v for k, v in train_m.items()},
+                      **{f"val_{k}": v for k, v in val_m.items()}}
+            self.history.append(record)
+            if verbose:
+                print(f"epoch {epoch}: train loss {train_m['loss']:.4f} "
+                      f"dice {train_m['dice']:.4f} | val loss "
+                      f"{val_m['loss']:.4f} dice {val_m['dice']:.4f} "
+                      f"({dt:.1f}s)")
+
+            improved = val_m["dice"] > best_dice + cfg.min_delta
+            if improved:
+                best_dice, best_epoch, since_best = val_m["dice"], epoch, 0
+                if cfg.save_dir:
+                    self.save(os.path.join(cfg.save_dir, "best_model.ltpu"),
+                              {"val_dice": best_dice, "epoch": epoch})
+            else:
+                since_best += 1
+
+            if cfg.save_dir and (epoch + 1) % cfg.save_every_n_epochs == 0:
+                self.save(os.path.join(cfg.save_dir,
+                                       f"checkpoint_epoch_{epoch + 1}.ltpu"),
+                          {"epoch": epoch})
+
+            if cfg.early_stopping and since_best >= cfg.patience:
+                if verbose:
+                    print(f"early stop at epoch {epoch} "
+                          f"(best dice {best_dice:.4f} @ {best_epoch})")
+                break
+
+        if cfg.save_dir:
+            self.save(os.path.join(cfg.save_dir, "last_model.ltpu"),
+                      {"epoch": epoch})
+            with open(os.path.join(cfg.save_dir, "history.json"), "w") as f:
+                json.dump(self.history, f, indent=2)
+        return {"best_dice": best_dice, "best_epoch": best_epoch,
+                "history": self.history}
