@@ -1,0 +1,261 @@
+"""lanetpu command-line interface.
+
+Replaces the reference's mixed entry points (ROS launch files, argparse
+nodes, hardcoded `__main__` menus — src/unet.py:226-275,
+src/yolo_detector.py:348-362, launch/*.launch) with one CLI:
+
+  lanetpu infer     — single-image lane segmentation (image -> mask file)
+  lanetpu video     — video lane segmentation with overlay output
+  lanetpu stream    — streaming benchmark of the fused pipeline
+  lanetpu train     — train the U-Net (synthetic or on-disk dataset)
+  lanetpu quantize  — calibrate + quantize a checkpoint to int8
+  lanetpu bench     — throughput benchmark (JSON result)
+  lanetpu eval      — mask quality metrics vs ground truth
+  lanetpu detect    — one-shot multi-frame YOLO detection on image files
+
+All commands accept `--set key=value` config overrides (the ROS
+`_param:=value` analogue).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_segmenter(args):
+    import jax.numpy as jnp
+
+    from lanetpu.core.config import PipelineConfig, UNetConfig, load_config
+    from lanetpu.models.unet import UNet
+    from lanetpu.runtime.engine import load_engine
+    from lanetpu.runtime.lane import LaneSegmenter
+
+    cfg = load_config(PipelineConfig, getattr(args, "config", None),
+                      getattr(args, "set", []) or [])
+    if getattr(args, "model", None):
+        _, variables, meta = load_engine(args.model)
+        module = UNet(
+            config=UNetConfig(
+                in_channels=meta.get("in_channels", 3),
+                out_channels=meta.get("out_channels", 1),
+                features=tuple(meta["features"]),
+                final_sigmoid=meta.get("final_sigmoid", False)),
+            dtype=jnp.dtype(cfg.compute_dtype))
+        return LaneSegmenter(module=module, variables=variables, config=cfg)
+    module = UNet(config=UNetConfig.deployed(),
+                  dtype=jnp.dtype(cfg.compute_dtype))
+    return LaneSegmenter(module=module, config=cfg)
+
+
+def cmd_infer(args):
+    from lanetpu.runtime.lane import _imread_rgb
+
+    seg = _load_segmenter(args)
+    image = _imread_rgb(args.image)
+    if args.warped:
+        mask, dt = seg.predict_warped(image[..., ::-1], args.threshold)
+    else:
+        mask, dt = seg.predict(image, args.threshold)
+    from PIL import Image
+
+    Image.fromarray(mask).save(args.output)
+    print(f"mask -> {args.output}  ({mask.shape[1]}x{mask.shape[0]}, "
+          f"{dt * 1e3:.1f} ms)")
+
+
+def cmd_video(args):
+    seg = _load_segmenter(args)
+    fps = seg.predict_video(args.video, args.output, args.threshold,
+                            batch_size=args.batch_size)
+    print(f"avg fps: {fps:.1f}")
+
+
+def cmd_bench(args):
+    seg = _load_segmenter(args)
+    stats = seg.benchmark(batch_size=args.batch_size, num_runs=args.runs,
+                          warped=not args.no_warp)
+    print(json.dumps(stats))
+
+
+def cmd_train(args):
+    from lanetpu.core.config import TrainConfig, load_config
+    from lanetpu.train.trainer import Trainer
+
+    cfg = load_config(TrainConfig, getattr(args, "config", None),
+                      getattr(args, "set", []) or [])
+    if args.epochs:
+        cfg.epochs = args.epochs
+    trainer = Trainer(cfg)
+    result = trainer.fit()
+    print(json.dumps({"best_dice": result["best_dice"],
+                      "best_epoch": result["best_epoch"],
+                      "epochs_run": len(result["history"])}))
+
+
+def cmd_quantize(args):
+    import jax.numpy as jnp
+
+    from lanetpu.quant import (
+        calibrate_unet,
+        fold_unet_batchnorm,
+        parity_report,
+        quantize_unet,
+        unet_forward_folded,
+    )
+    from lanetpu.runtime.engine import load_engine
+    from lanetpu.train.synthetic import SyntheticLaneDataset
+    from lanetpu.train.augment import preprocess_eval_batch
+    import jax
+
+    module, variables, meta = load_engine(args.model)
+    features = tuple(meta["features"])
+    folded = fold_unet_batchnorm(variables, features)
+
+    ds = SyntheticLaneDataset(args.calib_images, seed=123)
+    batches = []
+    for imgs, masks in ds.batches(8, shuffle=False, drop_last=False):
+        x, _ = preprocess_eval_batch(imgs, masks)
+        batches.append(np.asarray(x))
+    ranges = calibrate_unet(folded, features, batches)
+    q = quantize_unet(folded, features, ranges,
+                      final_sigmoid=meta.get("final_sigmoid", False))
+
+    # parity gate (README.md:3503-3571 analogue)
+    x = jnp.asarray(batches[0])
+    prob_fp = np.asarray(jax.nn.sigmoid(
+        unet_forward_folded(folded, x, features)))
+    prob_i8 = np.asarray(jax.nn.sigmoid(q.forward(x, mode="int8")))
+    rep = parity_report(prob_fp, prob_i8)
+    print(json.dumps(rep))
+
+    import pickle
+
+    with open(args.output, "wb") as f:
+        pickle.dump(q, f)
+    print(f"quantized model -> {args.output}")
+
+
+def cmd_eval(args):
+    from PIL import Image
+
+    from lanetpu.eval.metrics import mask_metrics
+
+    pred = np.asarray(Image.open(args.pred).convert("L")) > 127
+    target = np.asarray(Image.open(args.target).convert("L")) > 127
+    print(json.dumps(mask_metrics(pred, target)))
+
+
+def cmd_detect(args):
+    from lanetpu.runtime.detector import YoloEngine
+    from lanetpu.runtime.lane import _imread_rgb
+
+    engine = YoloEngine()
+    results = []
+    for path in args.images:
+        frame_bgr = _imread_rgb(path)[..., ::-1]
+        (boxes, classes, scores), dt = engine.detect(frame_bgr)
+        dets = []
+        if boxes is not None:
+            for b, c, s in zip(boxes, classes, scores):
+                dets.append({"box": [round(float(v), 1) for v in b],
+                             "class": engine.classes[int(c)],
+                             "score": round(float(s), 3)})
+        results.append({"image": path, "detections": dets,
+                        "time_ms": round(dt * 1e3, 1)})
+    print(json.dumps(results, indent=2))
+
+
+def cmd_stream(args):
+    import jax.numpy as jnp
+
+    from lanetpu.pipeline.streaming import StreamingRunner
+
+    seg = _load_segmenter(args)
+    fn = seg._get_jitted("warped")
+    thr = jnp.float32(seg.cfg.threshold)
+    runner = StreamingRunner(lambda batch: fn(batch, thr),
+                             batch_size=args.batch_size, device=seg.device)
+    rng = np.random.default_rng(0)
+    frames = (rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+              for _ in range(args.frames))
+    stats = runner.run(frames)
+    print(json.dumps(stats))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="lanetpu",
+                                description="TPU-native lane detection framework")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--model", help="model checkpoint (.ltpu)")
+        sp.add_argument("--config", help="config file (yaml/json)")
+        sp.add_argument("--set", action="append", metavar="KEY=VALUE",
+                        help="config override")
+
+    sp = sub.add_parser("infer", help="single-image lane segmentation")
+    common(sp)
+    sp.add_argument("image")
+    sp.add_argument("-o", "--output", default="mask.png")
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--warped", action="store_true",
+                    help="input is a raw BGR camera frame; apply IPM")
+    sp.set_defaults(fn=cmd_infer)
+
+    sp = sub.add_parser("video", help="video lane segmentation")
+    common(sp)
+    sp.add_argument("video")
+    sp.add_argument("-o", "--output", default="out.mp4")
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--batch-size", type=int, default=32)
+    sp.set_defaults(fn=cmd_video)
+
+    sp = sub.add_parser("bench", help="throughput benchmark")
+    common(sp)
+    sp.add_argument("--batch-size", type=int, default=128)
+    sp.add_argument("--runs", type=int, default=20)
+    sp.add_argument("--no-warp", action="store_true")
+    sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("train", help="train the lane U-Net")
+    common(sp)
+    sp.add_argument("--epochs", type=int)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("quantize", help="calibrate + int8-quantize")
+    common(sp)
+    sp.add_argument("--calib-images", type=int, default=100)
+    sp.add_argument("-o", "--output", default="model_int8.pkl")
+    sp.set_defaults(fn=cmd_quantize)
+
+    sp = sub.add_parser("eval", help="mask quality metrics")
+    sp.add_argument("pred")
+    sp.add_argument("target")
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("detect", help="YOLO detection on images")
+    common(sp)
+    sp.add_argument("images", nargs="+")
+    sp.set_defaults(fn=cmd_detect)
+
+    sp = sub.add_parser("stream", help="streaming pipeline benchmark")
+    common(sp)
+    sp.add_argument("--frames", type=int, default=512)
+    sp.add_argument("--batch-size", type=int, default=64)
+    sp.set_defaults(fn=cmd_stream)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -124,6 +124,12 @@ class PipelineConfig:
     batch_size: int = 32
     backend: str = "tpu"  # tpu | cpu | int8
     compute_dtype: str = "bfloat16"
+    # MXU matmul-based resampling (fast TPU path). False = gather-based
+    # resampling with exact cv2-chain semantics (the parity reference).
+    use_mxu_resample: bool = True
+    # Warp implementation on the MXU path: "einsum" (XLA, materializes
+    # weights in HBM) or "pallas" (in-VMEM weight synthesis kernel).
+    warp_impl: str = "einsum"
 
 
 @dataclass

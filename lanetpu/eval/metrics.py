@@ -22,20 +22,20 @@ def confusion_counts(pred, target):
     return tp, fp, fn, tn
 
 
-def iou_score(pred, target, eps: float = 1e-9) -> float:
+def iou_score(pred, target) -> float:
     tp, fp, fn, _ = confusion_counts(pred, target)
     union = tp + fp + fn
     if union == 0:
         return 1.0  # both empty
-    return tp / (union + eps)
+    return tp / union
 
 
-def dice_score(pred, target, eps: float = 1e-9) -> float:
+def dice_score(pred, target) -> float:
     tp, fp, fn, _ = confusion_counts(pred, target)
     denom = 2 * tp + fp + fn
     if denom == 0:
         return 1.0
-    return 2 * tp / (denom + eps)
+    return 2 * tp / denom
 
 
 def pixel_accuracy(pred, target) -> float:

@@ -94,8 +94,18 @@ class QuantizedUNet:
     def _hook_int8(self, x, kernel, bias, name, relu):
         qp = self.act_qp[name]
         xq = quantize_asymmetric(x, qp)
+        # Asymmetric-quant padding: a SAME conv would pad with int8 zeros,
+        # which dequantize to -zp*scale instead of a true 0 input. Pad with
+        # the zero-point explicitly and convolve VALID so border taps see
+        # exact zeros (what the RKNN runtime does for its asym-int8 graphs).
+        wq = jnp.asarray(self.wq[name])
+        kh, kw = wq.shape[0], wq.shape[1]
+        ph, pw = kh // 2, kw // 2
+        if ph or pw:
+            xq = jnp.pad(xq, ((0, 0), (ph, ph), (pw, pw), (0, 0)),
+                         constant_values=np.int8(qp.zero_point))
         acc = lax.conv_general_dilated(
-            xq, jnp.asarray(self.wq[name]), (1, 1), "SAME",
+            xq, wq, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32)
         corr = jnp.asarray(self.w_sum[name], jnp.int32) * jnp.int32(

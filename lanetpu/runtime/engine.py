@@ -79,6 +79,28 @@ def load_checkpoint(path: str, template: dict | None = None):
 # ---------------------------------------------------------------------------
 
 
+def adapt_input(x, target_shape=None, target_dtype=None):
+    """Coerce a host array toward an expected input signature.
+
+    Parity with the reference ONNX executor's robustness shims
+    (src/py_utils/onnx_executor.py:5-27, :53-66): dtype coercion via a type
+    map and shape repair that ignores size-1 dims (so [H, W, C] vs
+    [1, H, W, C] vs [1, 1, H, W, C] all land on the engine's signature).
+    """
+    x = np.asarray(x)
+    if target_dtype is not None:
+        x = x.astype(target_dtype, copy=False)
+    if target_shape is not None and tuple(x.shape) != tuple(target_shape):
+        core = [d for d in x.shape if d != 1]
+        core_t = [d for d in target_shape if d != 1]
+        if core == core_t:
+            x = x.reshape(target_shape)
+        else:
+            raise ValueError(
+                f"input shape {x.shape} incompatible with {target_shape}")
+    return x
+
+
 class Engine:
     """Backend-agnostic executor interface (reference rknn_executor.py:26-42)."""
 

@@ -27,6 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from lanetpu.core.config import PipelineConfig, UNetConfig
+from lanetpu.kernels.resample import (
+    compose_warp_to,
+    resize_bilinear_mxu,
+    warp_perspective_mxu,
+)
 from lanetpu.models.unet import UNet
 from lanetpu.ops.normalize import normalize_image
 from lanetpu.ops.resize import resize_bilinear
@@ -37,9 +42,15 @@ class LaneSegmenter:
     """Batched lane segmentation engine around a Flax U-Net."""
 
     def __init__(self, module: UNet | None = None, variables: dict | None = None,
-                 config: PipelineConfig | None = None, rng_seed: int = 0):
+                 config: PipelineConfig | None = None, rng_seed: int = 0,
+                 forward_fn=None):
+        """`forward_fn(x_normalized) -> logits/probs [N,h,w,1]` overrides the
+        Flax forward — used to plug in the int8 quantized model
+        (quant.calibrate.QuantizedUNet.forward) or any custom engine while
+        keeping the fused pre/post pipeline."""
         self.cfg = config or PipelineConfig()
         self.module = module or UNet(config=UNetConfig.deployed())
+        self.forward_fn = forward_fn
         if variables is None:
             h, w = self.cfg.input_size
             variables = self.module.init(
@@ -56,23 +67,62 @@ class LaneSegmenter:
         self.ipm_matrix = get_perspective_transform(
             self.cfg.ipm_src_points, self.cfg.ipm_dst_points
         )
+        # Composed camera->model-input homography for the fast path: one
+        # MXU warp replaces the reference's warp -> resize chain.
+        self.direct_matrix = compose_warp_to(
+            self.ipm_matrix, self.cfg.ipm_output_size, self.cfg.input_size)
         self._jit_cache: dict[tuple, Any] = {}
+
+    @property
+    def _mxu(self) -> bool:
+        """Use MXU matmul resampling (the TPU hot path). Gather resampling
+        remains the cv2-parity reference (cpu backend)."""
+        return self.cfg.use_mxu_resample
+
+    def _resize(self, img, out_hw):
+        if self._mxu:
+            return resize_bilinear_mxu(img, out_hw)
+        return resize_bilinear(img, out_hw)
 
     # ------------------------------------------------------------------
     # Fused device programs
     # ------------------------------------------------------------------
 
+    def _apply_model(self, x_normalized: jnp.ndarray) -> jnp.ndarray:
+        """Normalized [N, h, w, C] -> [N, h, w] probabilities."""
+        if self.forward_fn is not None:
+            logits = self.forward_fn(x_normalized)
+            emits_prob = False
+        else:
+            logits = self.module.apply(self.variables, x_normalized,
+                                       train=False)
+            emits_prob = self.module.config.final_sigmoid
+        prob = logits[..., 0].astype(jnp.float32)
+        if self.cfg.apply_sigmoid and not emits_prob:
+            prob = jax.nn.sigmoid(prob)
+        return prob
+
     def _forward_prob(self, frames_rgb: jnp.ndarray) -> jnp.ndarray:
         """[N, h, w, 3] uint8 RGB -> [N, 224, 224] probabilities."""
         ih, iw = self.cfg.input_size
-        x = resize_bilinear(frames_rgb, (ih, iw))
+        x = self._resize(frames_rgb, (ih, iw))
         x = normalize_image(x, self.cfg.mean, self.cfg.std,
                             dtype=self.compute_dtype)
-        logits = self.module.apply(self.variables, x, train=False)
-        prob = logits[..., 0].astype(jnp.float32)
-        if self.cfg.apply_sigmoid and not self.module.config.final_sigmoid:
-            prob = jax.nn.sigmoid(prob)
-        return prob
+        return self._apply_model(x)
+
+    @classmethod
+    def from_quantized(cls, quantized, config: PipelineConfig | None = None,
+                       mode: str = "int8"):
+        """Build a pipeline around an int8 QuantizedUNet artifact (the
+        deployment analogue of loading a .rknn blob)."""
+        from lanetpu.core.config import UNetConfig as _UC
+
+        cfg = config or PipelineConfig()
+        module = UNet(config=_UC(features=tuple(quantized.features)))
+        seg = cls(module=module, config=cfg,
+                  forward_fn=lambda x: quantized.forward(
+                      x.astype(jnp.float32), mode=mode))
+        return seg
 
     def _predict_fn(self, frames_rgb, threshold):
         """uint8 RGB frames -> uint8 {0..255} masks at input resolution.
@@ -84,20 +134,39 @@ class LaneSegmenter:
         h, w = frames_rgb.shape[1:3]
         prob = self._forward_prob(frames_rgb)
         binary = (prob > threshold).astype(jnp.uint8) * jnp.uint8(255)
-        return resize_bilinear(binary[..., None], (h, w))[..., 0]
+        return self._resize(binary[..., None], (h, w))[..., 0]
 
     def _predict_warped_fn(self, frames_bgr, threshold):
         """Raw BGR camera frames -> bird's-eye binary masks.
 
         Fuses the reference's host chain (src/unet_ros_node.py:300-313):
-        warpPerspective to 1055x685, BGR->RGB, then predict — one XLA launch.
+        IPM warp, BGR->RGB, segment — one XLA launch. On the MXU path the
+        camera frame warps DIRECTLY to the 224x224 model input through the
+        composed homography (one resampling); the gather path replicates
+        the reference's warp-to-1055x685-then-resize chain exactly.
         """
         ow, oh = self.cfg.ipm_output_size
-        warped = warp_perspective(frames_bgr, self.ipm_matrix, (ow, oh))
-        rgb = warped[..., ::-1]
-        prob = self._forward_prob(rgb)
+        ih, iw = self.cfg.input_size
+        if self._mxu:
+            if self.cfg.warp_impl == "pallas":
+                from lanetpu.kernels.warp_pallas import warp_perspective_pallas
+
+                small = warp_perspective_pallas(
+                    frames_bgr, self.direct_matrix, (iw, ih),
+                    compute_dtype=self.compute_dtype)
+            else:
+                small = warp_perspective_mxu(frames_bgr, self.direct_matrix,
+                                             (iw, ih))
+            rgb = small[..., ::-1]
+            x = normalize_image(rgb, self.cfg.mean, self.cfg.std,
+                                dtype=self.compute_dtype)
+            prob = self._apply_model(x)
+        else:
+            warped = warp_perspective(frames_bgr, self.ipm_matrix, (ow, oh))
+            rgb = warped[..., ::-1]
+            prob = self._forward_prob(rgb)
         binary = (prob > threshold).astype(jnp.uint8) * jnp.uint8(255)
-        return resize_bilinear(binary[..., None], (oh, ow))[..., 0]
+        return self._resize(binary[..., None], (oh, ow))[..., 0]
 
     def _get_jitted(self, kind: str):
         fn = self._jit_cache.get(kind)
@@ -125,17 +194,29 @@ class LaneSegmenter:
             pass
         return np.asarray(out)
 
-    def predict(self, image, threshold: float | None = None):
+    def predict(self, image, threshold: float | None = None,
+                safe: bool = False):
         """Single RGB frame (or path) -> (mask, inference_time).
 
         Contract parity with reference src/unet.py:74-97: accepts an image
         path or array, returns a uint8 mask at the input resolution and the
-        wall-clock device time.
+        wall-clock device time. With `safe=True`, inference errors return a
+        zero mask instead of raising (the reference's defensive fallback,
+        src/unet.py:85-98).
         """
         if isinstance(image, str):
             image = _imread_rgb(image)
         t0 = time.perf_counter()
-        mask = self.predict_batch(image[None], threshold)[0]
+        try:
+            mask = self.predict_batch(image[None], threshold)[0]
+        except Exception as e:  # noqa: BLE001 — parity: degrade, don't crash
+            if not safe:
+                raise
+            import logging
+
+            logging.getLogger("lanetpu").error("inference error: %s", e)
+            return (np.zeros(image.shape[:2], dtype=np.uint8),
+                    time.perf_counter() - t0)
         dt = time.perf_counter() - t0
         return mask, dt
 

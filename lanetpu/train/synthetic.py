@@ -94,19 +94,39 @@ def generate_batch(indices, seed: int = 42, image_size=(224, 224)):
 
 
 class SyntheticLaneDataset:
-    """Map-style dataset: len() + [index] -> (uint8 image, float mask)."""
+    """Map-style dataset: len() + [index] -> (uint8 image, float mask).
+
+    With `cache=True` (default) all samples render once on first access and
+    epochs reuse them — rendering is host CPU work and must not become the
+    training bottleneck (the on-device augmentation provides per-epoch
+    variety).
+    """
 
     def __init__(self, num_samples: int, seed: int = 42, image_size=(224, 224),
-                 offset: int = 0):
+                 offset: int = 0, cache: bool = True):
         self.num_samples = num_samples
         self.seed = seed
         self.image_size = image_size
         self.offset = offset
+        self._cache = None
+        if cache:
+            self.cache = True
+        else:
+            self.cache = False
+
+    def _materialize(self):
+        if self._cache is None:
+            idx = np.arange(self.num_samples) + self.offset
+            self._cache = generate_batch(idx, self.seed, self.image_size)
+        return self._cache
 
     def __len__(self):
         return self.num_samples
 
     def __getitem__(self, idx: int):
+        if self.cache:
+            imgs, masks = self._materialize()
+            return imgs[idx], masks[idx]
         return generate_sample(self.offset + idx, self.seed, self.image_size)
 
     def batches(self, batch_size: int, shuffle: bool = True,
@@ -116,6 +136,12 @@ class SyntheticLaneDataset:
             (rng or np.random.default_rng(self.seed)).shuffle(order)
         end = (self.num_samples // batch_size * batch_size
                if drop_last else self.num_samples)
-        for i in range(0, end, batch_size):
-            idx = order[i:i + batch_size] + self.offset
-            yield generate_batch(idx, self.seed, self.image_size)
+        if self.cache:
+            imgs, masks = self._materialize()
+            for i in range(0, end, batch_size):
+                sel = order[i:i + batch_size]
+                yield imgs[sel], masks[sel]
+        else:
+            for i in range(0, end, batch_size):
+                idx = order[i:i + batch_size] + self.offset
+                yield generate_batch(idx, self.seed, self.image_size)

@@ -17,6 +17,17 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The jaxtyping pytest plugin imports jax BEFORE this conftest runs, so the
+# env vars above can be too late — jax's config snapshots JAX_PLATFORMS at
+# import. Force the platform through the config API as well; otherwise the
+# whole suite silently runs over the (25 ms RTT) axon TPU tunnel.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, not the TPU tunnel")
+assert len(jax.devices()) >= 8, "xla_force_host_platform_device_count not applied"
+
 import numpy as np
 import pytest
 

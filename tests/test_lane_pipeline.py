@@ -10,9 +10,27 @@ from lanetpu.runtime.lane import LaneSegmenter
 
 @pytest.fixture(scope="module")
 def segmenter():
-    cfg = PipelineConfig(backend="cpu", compute_dtype="float32", batch_size=2)
+    # gather-resample reference configuration (exact cv2-chain semantics)
+    cfg = PipelineConfig(backend="cpu", compute_dtype="float32", batch_size=2,
+                         use_mxu_resample=False)
     module = UNet(config=UNetConfig(features=(4, 8)))
     return LaneSegmenter(module=module, config=cfg)
+
+
+def test_mxu_pipeline_close_to_gather_pipeline(segmenter, rng):
+    """The MXU fast path must produce nearly the same masks as the gather
+    reference path (mask IoU gate, SURVEY.md §7)."""
+    from lanetpu.eval.metrics import iou_score
+
+    cfg = PipelineConfig(backend="cpu", compute_dtype="float32", batch_size=2,
+                         use_mxu_resample=True)
+    fast = LaneSegmenter(module=segmenter.module,
+                         variables=segmenter.variables, config=cfg)
+    frame = rng.integers(0, 256, size=(2, 120, 160, 3), dtype=np.uint8)
+    a = segmenter.predict_batch(frame)
+    b = fast.predict_batch(frame)
+    # same resize semantics (no warp involved): near-exact
+    assert iou_score(a > 127, b > 127) > 0.995
 
 
 def test_predict_shape_and_dtype(segmenter, rng):

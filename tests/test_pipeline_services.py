@@ -1,0 +1,202 @@
+"""Channel bus, streaming runner, and service endpoint tests.
+
+These are the automated versions of the reference's manual service
+smoke-tests (src/test_yolo.py, src/test_code/test.py — SURVEY.md §4), using
+a fake detection engine so no model weights are needed.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from lanetpu.pipeline.channels import Bus, Channel
+from lanetpu.pipeline.service import (
+    DetectTargetRequest,
+    DetectTargetService,
+    MultiFrameDetectService,
+)
+from lanetpu.pipeline.streaming import StreamingRunner
+
+
+# ---------------------------------------------------------------------------
+# Channels
+# ---------------------------------------------------------------------------
+
+
+def test_channel_latest_and_seq():
+    ch = Channel("/x")
+    assert ch.latest() is None
+    ch.publish(1)
+    ch.publish(2)
+    assert ch.latest() == 2 and ch.seq == 2
+
+
+def test_channel_callback():
+    ch = Channel("/x")
+    got = []
+    ch.subscribe(got.append)
+    ch.publish("a")
+    assert got == ["a"]
+
+
+def test_channel_queue_drops_oldest():
+    ch = Channel("/x", queue_size=2)
+    q = ch.make_queue()
+    for i in range(5):
+        ch.publish(i)
+    assert list(q) == [3, 4]
+
+
+def test_channel_wait_for_message():
+    ch = Channel("/x")
+
+    def later():
+        time.sleep(0.05)
+        ch.publish(42)
+
+    t = threading.Thread(target=later)
+    t.start()
+    assert ch.wait_for_message(timeout=2.0) == 42
+    t.join()
+
+
+def test_channel_wait_timeout():
+    ch = Channel("/x")
+    assert ch.wait_for_message(timeout=0.05) is None
+
+
+def test_bus_registry():
+    bus = Bus()
+    a = bus.channel("/mask")
+    b = bus.channel("/mask")
+    assert a is b
+    bus.publish("/cmd_vel", 7)
+    assert bus.channel("/cmd_vel").latest() == 7
+    assert bus.topics() == ["/cmd_vel", "/mask"]
+
+
+# ---------------------------------------------------------------------------
+# Streaming runner
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_runner_processes_all_frames():
+    import jax
+
+    def device_fn(batch):
+        return batch.astype("float32") * 2.0
+
+    runner = StreamingRunner(jax.jit(device_fn), batch_size=4)
+    frames = [np.full((2, 2, 3), i, np.uint8) for i in range(10)]
+    outs = []
+    stats = runner.run(iter(frames), sink=outs.append)
+    assert stats["frames"] == 10
+    assert stats["batches"] == 3  # 4 + 4 + 2
+    collected = np.concatenate(outs)
+    np.testing.assert_allclose(collected[:, 0, 0, 0],
+                               np.arange(10, dtype=np.float32) * 2)
+
+
+# ---------------------------------------------------------------------------
+# Fake detection engine for services
+# ---------------------------------------------------------------------------
+
+
+class FakeEngine:
+    """Deterministic engine: 'sees' class 1 ('cake') centered with score
+    0.9 whenever the frame's first pixel is bright."""
+
+    classes = ("banana", "cake", "cola", "apple", "lajiao", "milk",
+               "potato", "tomato", "greenlight", "redlight", "watermelon")
+
+    def detect_batch(self, frames, map_to_original=True):
+        out = []
+        for f in frames:
+            if f[0, 0, 0] > 100:
+                boxes = np.array([[300.0, 200.0, 340.0, 280.0]], np.float32)
+                out.append((boxes, np.array([1]), np.array([0.9], np.float32)))
+            else:
+                out.append((None, None, None))
+        return out
+
+    def detect(self, frame, map_to_original=True):
+        return self.detect_batch(frame[None], map_to_original)[0], 0.001
+
+
+def test_multi_frame_detect_service():
+    bus = Bus()
+    svc = MultiFrameDetectService(FakeEngine(), bus=bus,
+                                  frame_interval_s=0.0)
+    # publish a bright frame (detectable)
+    bus.publish("/usb_cam/image_raw", np.full((480, 640, 3), 200, np.uint8))
+    result = svc()
+    assert result["success"]
+    assert result["results"] == [{"type": "cake", "confidence": "0.900"}]
+
+
+def test_multi_frame_detect_service_no_frames():
+    svc = MultiFrameDetectService(FakeEngine(), frame_interval_s=0.0)
+    result = svc()
+    assert not result["success"]
+
+
+def test_multi_frame_detect_below_threshold():
+    class WeakEngine(FakeEngine):
+        def detect_batch(self, frames, map_to_original=True):
+            return [(np.array([[0, 0, 10, 10.0]]), np.array([2]),
+                     np.array([0.4], np.float32)) for _ in frames]
+
+    bus = Bus()
+    svc = MultiFrameDetectService(WeakEngine(), bus=bus, frame_interval_s=0.0)
+    bus.publish("/usb_cam/image_raw", np.full((480, 640, 3), 200, np.uint8))
+    result = svc()
+    assert result["success"] and result["results"] == []  # 0.4 < 0.7 gate
+
+
+# ---------------------------------------------------------------------------
+# DetectTarget service (find/track/park mission)
+# ---------------------------------------------------------------------------
+
+
+def _run_mission_bus():
+    bus = Bus()
+    bus.publish("/image_rect_color", np.full((480, 640, 3), 200, np.uint8))
+    bus.publish("/scan", np.full(100, 0.2))      # at target distance
+    bus.publish("/mag_pose_2d", 0.0)
+    return bus
+
+
+def test_detect_target_service_success():
+    bus = _run_mission_bus()
+    svc = DetectTargetService(FakeEngine(), bus=bus, rate_hz=200.0,
+                              timeout_s=5.0)
+    resp = svc(DetectTargetRequest(aim_type="dessert", if_parking=True))
+    assert resp.if_success
+    assert resp.obj_name == "cake"
+    assert resp.final_distance == pytest.approx(0.2)
+
+
+def test_detect_target_service_invalid_type():
+    svc = DetectTargetService(FakeEngine(), bus=Bus(), timeout_s=1.0)
+    resp = svc(DetectTargetRequest(aim_type="nonsense"))
+    assert not resp.if_success and "INVALID_TYPE" in resp.message
+
+
+def test_detect_target_service_busy_rejection():
+    bus = Bus()  # no frames: mission will spin in finding
+    bus.publish("/mag_pose_2d", 0.0)
+    svc = DetectTargetService(FakeEngine(), bus=bus, rate_hz=100.0,
+                              timeout_s=1.0)
+    results = []
+
+    def call():
+        results.append(svc(DetectTargetRequest(aim_type="fruit")))
+
+    t1 = threading.Thread(target=call)
+    t1.start()
+    time.sleep(0.1)
+    resp2 = svc(DetectTargetRequest(aim_type="fruit"))
+    t1.join()
+    assert resp2.message == "BUSY"  # reference srv.py:113-115 semantics

@@ -1,0 +1,101 @@
+"""MXU resampling kernels must agree with the gather reference ops."""
+
+import numpy as np
+import pytest
+
+from lanetpu.kernels.resample import (
+    compose_warp_to,
+    resize_bilinear_mxu,
+    resize_matrix,
+    warp_perspective_mxu,
+)
+from lanetpu.ops.resize import resize_bilinear
+from lanetpu.ops.warp import get_perspective_transform, warp_perspective
+
+IPM_SRC = ((29, 347), (619, 368), (202, 238), (422, 248))
+IPM_DST = ((300, 580), (755, 580), (300, 100), (755, 100))
+
+
+def test_resize_matrix_rows_sum_to_one():
+    m = resize_matrix(685, 224)
+    np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-6)
+    m = resize_matrix(224, 685)  # upscale
+    np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_resize_mxu_matches_gather_uint8(rng):
+    img = rng.integers(0, 256, size=(2, 97, 143, 3), dtype=np.uint8)
+    a = np.asarray(resize_bilinear_mxu(img, (224, 224)))
+    b = np.asarray(resize_bilinear(img, (224, 224)))
+    diff = np.abs(a.astype(int) - b.astype(int))
+    # f32 accumulation-order differences flip round-at-.5 cases: allow 2 LSB
+    # on a tiny fraction of pixels
+    assert diff.max() <= 2
+    assert (diff > 1).mean() < 0.01
+
+
+def test_resize_mxu_matches_gather_float(rng):
+    img = rng.random((1, 50, 70, 1), dtype=np.float32)
+    a = np.asarray(resize_bilinear_mxu(img, (100, 35)))
+    b = np.asarray(resize_bilinear(img, (100, 35)))
+    np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def _smooth_image(h=480, w=640):
+    """Natural-image stand-in: smooth gradients + low-frequency texture.
+
+    The two-pass warp samples along slanted scanlines — quality-equivalent
+    to a direct bilinear gather but not bit-identical, so white-noise inputs
+    (where adjacent pixels differ by ~85 on average) are the wrong test
+    vector; real camera frames are locally smooth.
+    """
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (127 + 60 * np.sin(xx / 40.0) + 50 * np.cos(yy / 33.0)
+           + 0.1 * xx + 0.05 * yy)
+    return np.clip(img, 0, 255).astype(np.uint8)[..., None].repeat(3, -1)
+
+
+def test_warp_mxu_matches_gather_ipm():
+    """Two-pass MXU warp vs direct gather warp on the real IPM homography."""
+    img = _smooth_image()
+    m = get_perspective_transform(IPM_SRC, IPM_DST)
+    a = np.asarray(warp_perspective_mxu(img, m, (400, 300)))
+    b = np.asarray(warp_perspective(img, m, (400, 300)))
+    diff = np.abs(a.astype(int) - b.astype(int))
+    valid = b.sum(axis=-1) > 0
+    assert np.median(diff[valid]) <= 1
+    assert np.percentile(diff[valid], 99) <= 4
+
+
+def test_warp_mxu_identity():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(48, 64, 1), dtype=np.uint8)
+    out = np.asarray(warp_perspective_mxu(img, np.eye(3), (64, 48)))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_warp_mxu_batched(rng):
+    img = rng.integers(0, 256, size=(3, 60, 80, 3), dtype=np.uint8)
+    m = get_perspective_transform(IPM_SRC, IPM_DST) @ np.diag([0.2, 0.2, 1.0])
+    out = np.asarray(warp_perspective_mxu(img, m, (100, 70)))
+    single = np.asarray(warp_perspective_mxu(img[1], m, (100, 70)))
+    assert out.shape == (3, 70, 100, 3)
+    np.testing.assert_array_equal(out[1], single)
+
+
+def test_composed_warp_close_to_chain():
+    """Direct composed warp to 224x224 vs the reference's two-step chain
+    (warp to 1055x685 then resize): small differences (single resampling),
+    but structurally the same image."""
+    img = _smooth_image()
+    m = get_perspective_transform(IPM_SRC, IPM_DST)
+    chain = np.asarray(resize_bilinear(
+        warp_perspective(img, m, (1055, 685)), (224, 224))).astype(int)
+    mc = compose_warp_to(m, (1055, 685), (224, 224))
+    direct = np.asarray(warp_perspective_mxu(img, mc, (224, 224))).astype(int)
+    # valid (non-border) region: compare where chain has content
+    valid = chain.sum(axis=-1) > 0
+    diff = np.abs(chain - direct)[valid]
+    assert np.median(diff) <= 3
+    corr = np.corrcoef(chain[valid].ravel(), direct[valid].ravel())[0, 1]
+    assert corr > 0.99

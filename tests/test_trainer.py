@@ -1,0 +1,136 @@
+"""Trainer loop smoke tests: synthetic data, checkpointing, early stop,
+orbax resume, and the int8 end-to-end deployment path."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from lanetpu.core.config import PipelineConfig, TrainConfig, UNetConfig
+from lanetpu.train.synthetic import SyntheticLaneDataset, generate_sample
+from lanetpu.train.trainer import Trainer
+
+
+def _tiny_cfg(tmp_path, **kw):
+    defaults = dict(features=(4, 8), image_size=(64, 64), batch_size=4,
+                    num_train=16, num_val=8, learning_rate=3e-3,
+                    compute_dtype="float32", save_dir=str(tmp_path / "ckpt"),
+                    warmup_epochs=0, patience=50)
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def test_synthetic_dataset_determinism():
+    a_img, a_mask = generate_sample(5, seed=42)
+    b_img, b_mask = generate_sample(5, seed=42)
+    np.testing.assert_array_equal(a_img, b_img)
+    np.testing.assert_array_equal(a_mask, b_mask)
+    c_img, _ = generate_sample(6, seed=42)
+    assert not np.array_equal(a_img, c_img)
+
+
+def test_synthetic_dataset_properties():
+    ds = SyntheticLaneDataset(8, image_size=(64, 64))
+    img, mask = ds[0]
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert mask.shape == (64, 64, 1) and set(np.unique(mask)) <= {0.0, 1.0}
+    # lanes cover a nontrivial fraction
+    assert 0.01 < mask.mean() < 0.5
+    batches = list(ds.batches(4))
+    assert len(batches) == 2 and batches[0][0].shape == (4, 64, 64, 3)
+
+
+def test_trainer_learns_synthetic(tmp_path):
+    """A few epochs on the synthetic set must push val dice well above
+    chance and write best/last checkpoints (README.md:2204-2232 behavior)."""
+    cfg = _tiny_cfg(tmp_path)
+    trainer = Trainer(cfg)
+    first_val = trainer.validate()["dice"]
+    result = trainer.fit(epochs=8, verbose=False)
+    assert result["best_dice"] > max(0.4, first_val + 0.1)
+    assert os.path.exists(os.path.join(cfg.save_dir, "best_model.ltpu"))
+    assert os.path.exists(os.path.join(cfg.save_dir, "last_model.ltpu"))
+    assert os.path.exists(os.path.join(cfg.save_dir, "history.json"))
+
+
+def test_checkpoint_roundtrip_into_segmenter(tmp_path):
+    """Train -> save .ltpu -> load_engine -> LaneSegmenter predict."""
+    from lanetpu.runtime.engine import load_engine
+    from lanetpu.runtime.lane import LaneSegmenter
+
+    cfg = _tiny_cfg(tmp_path)
+    trainer = Trainer(cfg)
+    trainer.fit(epochs=1, verbose=False)
+    module, variables, meta = load_engine(
+        os.path.join(cfg.save_dir, "last_model.ltpu"))
+    assert meta["arch"] == "unet" and tuple(meta["features"]) == (4, 8)
+    seg = LaneSegmenter(module=module, variables=variables,
+                        config=PipelineConfig(compute_dtype="float32"))
+    frame = trainer.val_ds[0][0]
+    mask, _ = seg.predict(frame)
+    assert mask.shape == frame.shape[:2]
+
+
+def test_orbax_resume(tmp_path):
+    from lanetpu.train.checkpoint import TrainCheckpointer
+    from lanetpu.train.steps import create_train_state
+    from lanetpu.models.unet import UNet
+
+    cfg = _tiny_cfg(tmp_path)
+    module = UNet(config=UNetConfig(features=cfg.features))
+    state = create_train_state(module, jax.random.PRNGKey(0), cfg)
+    state = state.replace(step=state.step + 7)
+
+    ckpt = TrainCheckpointer(str(tmp_path / "orbax"))
+    ckpt.save(7, state, {"val_dice": 0.9})
+    assert ckpt.latest_step() == 7
+
+    template = create_train_state(module, jax.random.PRNGKey(1), cfg)
+    restored, meta = ckpt.restore(template)
+    assert int(restored.step) == 7
+    assert meta["val_dice"] == 0.9
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    r0 = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(r0))
+    ckpt.close()
+
+
+def test_trained_model_quantizes_end_to_end(tmp_path):
+    """Full deployment chain: train -> fold -> calibrate -> int8 -> fused
+    pipeline via LaneSegmenter.from_quantized, with IoU parity gate."""
+    from lanetpu.eval.metrics import iou_score
+    from lanetpu.quant import calibrate_unet, fold_unet_batchnorm, quantize_unet
+    from lanetpu.runtime.lane import LaneSegmenter
+    from lanetpu.train.augment import preprocess_eval_batch
+
+    cfg = _tiny_cfg(tmp_path)
+    trainer = Trainer(cfg)
+    trainer.fit(epochs=4, verbose=False)
+
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    folded = fold_unet_batchnorm(variables, cfg.features)
+    calib = []
+    for imgs, masks in trainer.val_ds.batches(4, shuffle=False):
+        x, _ = preprocess_eval_batch(imgs, masks)
+        calib.append(np.asarray(x))
+    q = quantize_unet(folded, cfg.features,
+                      calibrate_unet(folded, cfg.features, calib))
+
+    pcfg = PipelineConfig(compute_dtype="float32")
+    seg_fp = LaneSegmenter(module=trainer.module, variables=variables,
+                           config=pcfg)
+    seg_i8 = LaneSegmenter.from_quantized(q, config=pcfg)
+
+    frames = np.stack([trainer.val_ds[i][0] for i in range(4)])
+    # Probability-MAE parity (the reference's quant gate, README.md:3556):
+    # a briefly-trained model's probabilities hover near the 0.5 boundary,
+    # so mask IoU is noisy — the >=0.99 IoU gate applies to converged
+    # models (exercised in the full TPU training run, artifacts/).
+    p_fp = seg_fp.predict_prob(frames)
+    p_i8 = seg_i8.predict_prob(frames)
+    assert np.abs(p_fp - p_i8).mean() < 0.05
+    m_fp = seg_fp.predict_batch(frames)
+    m_i8 = seg_i8.predict_batch(frames)
+    assert iou_score(m_i8 > 127, m_fp > 127) >= 0.7
