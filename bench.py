@@ -54,18 +54,18 @@ def main():
             rng.integers(0, 256, size=(bs, 480, 640, 3), dtype=np.uint8)),
             seg.device)
         t0 = time.perf_counter()
-        device_sync(fn(frames, thr))
+        device_sync(fn(seg.variables, frames, thr))
         log(f"bs={bs}: first call (compile) {time.perf_counter() - t0:.1f}s")
         # single-batch latency
         lat = []
         for _ in range(5):
             t0 = time.perf_counter()
-            device_sync(fn(frames, thr))
+            device_sync(fn(seg.variables, frames, thr))
             lat.append(time.perf_counter() - t0)
         # pipelined throughput (K batches in flight, one sync)
         k = 10
         t0 = time.perf_counter()
-        outs = [fn(frames, thr) for _ in range(k)]
+        outs = [fn(seg.variables, frames, thr) for _ in range(k)]
         device_sync(outs[-1])
         per_batch = (time.perf_counter() - t0) / k
         fps = bs / per_batch

@@ -97,6 +97,15 @@ def cmd_train(args):
                       "epochs_run": len(result["history"])}))
 
 
+def cmd_train_points(args):
+    from lanetpu.train.points_task import train_points
+
+    result = train_points(mode=args.mode, depth=args.depth,
+                          epochs=args.epochs, save_path=args.output)
+    print(json.dumps({"final_val_mae": result["final_val_mae"],
+                      "output": args.output}))
+
+
 def cmd_quantize(args):
     import jax.numpy as jnp
 
@@ -125,11 +134,14 @@ def cmd_quantize(args):
     q = quantize_unet(folded, features, ranges,
                       final_sigmoid=meta.get("final_sigmoid", False))
 
-    # parity gate (README.md:3503-3571 analogue)
+    # parity gate (README.md:3503-3571 analogue) — jitted single programs
+    # (eager per-op execution is pathological on tunneled backends)
     x = jnp.asarray(batches[0])
-    prob_fp = np.asarray(jax.nn.sigmoid(
-        unet_forward_folded(folded, x, features)))
-    prob_i8 = np.asarray(jax.nn.sigmoid(q.forward(x, mode="int8")))
+    fp_fn = jax.jit(lambda v: jax.nn.sigmoid(
+        unet_forward_folded(folded, v, features)))
+    i8_fn = jax.jit(lambda v: jax.nn.sigmoid(q.forward(v, mode="int8")))
+    prob_fp = np.asarray(fp_fn(x))
+    prob_i8 = np.asarray(i8_fn(x))
     rep = parity_report(prob_fp, prob_i8)
     print(json.dumps(rep))
 
@@ -178,7 +190,7 @@ def cmd_stream(args):
     seg = _load_segmenter(args)
     fn = seg._get_jitted("warped")
     thr = jnp.float32(seg.cfg.threshold)
-    runner = StreamingRunner(lambda batch: fn(batch, thr),
+    runner = StreamingRunner(lambda batch: fn(seg.variables, batch, thr),
                              batch_size=args.batch_size, device=seg.device)
     rng = np.random.default_rng(0)
     frames = (rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
@@ -227,6 +239,14 @@ def build_parser():
     sp.add_argument("--epochs", type=int)
     sp.set_defaults(fn=cmd_train)
 
+    sp = sub.add_parser("train-points", help="train a lane-point regressor")
+    sp.add_argument("--mode", choices=["xcoords", "centerline"],
+                    default="xcoords")
+    sp.add_argument("--depth", type=int, default=50)
+    sp.add_argument("--epochs", type=int, default=10)
+    sp.add_argument("-o", "--output", default="points_model.ltpu")
+    sp.set_defaults(fn=cmd_train_points)
+
     sp = sub.add_parser("quantize", help="calibrate + int8-quantize")
     common(sp)
     sp.add_argument("--calib-images", type=int, default=100)
@@ -252,8 +272,26 @@ def build_parser():
     return p
 
 
+def _enable_compilation_cache():
+    """Persist XLA compilations across CLI invocations. One-shot commands
+    (infer on a single image) otherwise pay a full pipeline compile — which
+    on a remote/tunneled TPU can dominate wall-clock by minutes."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "LANETPU_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "lanetpu", "xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _enable_compilation_cache()
     args.fn(args)
 
 

@@ -66,6 +66,12 @@ class ServoConfig:
     confidence_threshold: float = 0.5   # yolo_debug.py:44
     # srv.py variant: stricter alignment + cumulative-rotation give-up
     max_cumulative_rotation_deg: float = 450.0  # test_code/main.py:315-318
+    # Sensor-fusion tracker refinement (test_code/main.py 'roat' state +
+    # tool.py:183-226 line fit): square up against the obstacle face using
+    # the LiDAR line-fit heading before the final approach.
+    use_heading_alignment: bool = False
+    heading_tol_rad: float = 0.05
+    lidar_angle_increment: float = 0.00827  # ~760-beam scan default
 
     @staticmethod
     def service_preset() -> "ServoConfig":
@@ -178,6 +184,18 @@ class VisualServoController:
         distance = front_distance(lidar_ranges) if lidar_ranges is not None else 10.0
 
         if self.state == "parking":
+            # Optional heading square-up against the obstacle face
+            # (test_code/main.py 'roat' state) before the linear approach.
+            if cfg.use_heading_alignment and lidar_ranges is not None:
+                from lanetpu.control.lidar import front_line_heading
+
+                heading, _ = front_line_heading(
+                    lidar_ranges, cfg.lidar_angle_increment,
+                    center_index=len(lidar_ranges) // 2)
+                if heading is not None and abs(heading) > cfg.heading_tol_rad:
+                    wz = self.pid_angular.update(heading, dt)
+                    return Command(wz=wz, state="parking",
+                                   target=(class_id, score, obj_pos))
             # Pure linear PID to target distance (yolo_debug.py:313-361)
             err = distance - cfg.target_distance
             if abs(err) < cfg.park_distance_tol:

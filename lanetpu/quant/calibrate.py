@@ -42,25 +42,36 @@ def calibrate_unet(folded: dict, features, calib_batches: Iterable) -> dict:
 
     calib_batches yields normalized [N, H, W, C] float arrays (the exact
     tensors the model will see). Returns {layer_name: (min, max)}.
+
+    The whole per-batch range collection is ONE jitted program returning a
+    small dict of scalars — eager per-op execution is pathological on
+    remote/tunneled backends.
     """
+
+    @jax.jit
+    def ranges_fn(x):
+        collected = {}
+
+        def hook(h, kernel, bias, name, relu):
+            collected[name] = (jnp.min(h), jnp.max(h))
+            y = lax.conv_general_dilated(
+                h, jnp.asarray(kernel), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + jnp.asarray(bias)
+            return jax.nn.relu(y) if relu else y
+
+        unet_forward_folded(folded, x, features, conv_hook=hook)
+        return collected
+
     ranges: dict[str, list] = {}
-
-    def hook(x, kernel, bias, name, relu):
-        lo = float(jnp.min(x))
-        hi = float(jnp.max(x))
-        if name in ranges:
-            ranges[name][0] = min(ranges[name][0], lo)
-            ranges[name][1] = max(ranges[name][1], hi)
-        else:
-            ranges[name] = [lo, hi]
-        y = lax.conv_general_dilated(
-            x, jnp.asarray(kernel), (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + jnp.asarray(bias)
-        return jax.nn.relu(y) if relu else y
-
     for batch in calib_batches:
-        unet_forward_folded(folded, jnp.asarray(batch, jnp.float32), features,
-                            conv_hook=hook)
+        out = jax.device_get(ranges_fn(jnp.asarray(batch, jnp.float32)))
+        for name, (lo, hi) in out.items():
+            lo, hi = float(lo), float(hi)
+            if name in ranges:
+                ranges[name][0] = min(ranges[name][0], lo)
+                ranges[name][1] = max(ranges[name][1], hi)
+            else:
+                ranges[name] = [lo, hi]
     return {k: (v[0], v[1]) for k, v in ranges.items()}
 
 

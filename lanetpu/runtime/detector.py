@@ -42,7 +42,7 @@ class YoloEngine:
         self.compute_dtype = jnp.dtype(compute_dtype)
         self._jitted = jax.jit(self._device_fn)
 
-    def _device_fn(self, frames_bgr: jnp.ndarray):
+    def _device_fn(self, variables, frames_bgr: jnp.ndarray):
         """[N, H, W, 3] uint8 BGR frames -> top-k (boxes, scores, classes).
 
         Letterbox + BGR->RGB + scale (reference src/yolo_detector.py:319-326)
@@ -52,7 +52,7 @@ class YoloEngine:
         ih, iw = self.cfg.img_size
         img = letterbox(frames_bgr, (ih, iw))
         rgb = img[..., ::-1].astype(jnp.float32) / 255.0
-        outputs = self.module.apply(self.variables, rgb.astype(self.compute_dtype),
+        outputs = self.module.apply(variables, rgb.astype(self.compute_dtype),
                                     train=False)
         return decode_detections(tuple(outputs), img_size=self.cfg.img_size,
                                  strides=self.cfg.strides, bins=self.cfg.dfl_bins)
@@ -65,7 +65,7 @@ class YoloEngine:
         """
         h, w = frames_bgr.shape[1:3]
         params = letterbox_params((h, w), self.cfg.img_size)
-        b, s, c = self._jitted(jnp.asarray(frames_bgr, dtype=jnp.uint8))
+        b, s, c = self._jitted(self.variables, jnp.asarray(frames_bgr, dtype=jnp.uint8))
         b, s, c = np.asarray(b), np.asarray(s), np.asarray(c)
         results = []
         for i in range(len(frames_bgr)):

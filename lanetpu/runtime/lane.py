@@ -88,27 +88,32 @@ class LaneSegmenter:
     # Fused device programs
     # ------------------------------------------------------------------
 
-    def _apply_model(self, x_normalized: jnp.ndarray) -> jnp.ndarray:
-        """Normalized [N, h, w, C] -> [N, h, w] probabilities."""
+    def _apply_model(self, variables, x_normalized: jnp.ndarray) -> jnp.ndarray:
+        """Normalized [N, h, w, C] -> [N, h, w] probabilities.
+
+        `variables` is threaded through as a jit ARGUMENT everywhere —
+        closing over device arrays makes jax fetch them back to the host at
+        lowering time to embed as constants (minutes over a slow tunnel,
+        and a program-size bloat on any backend).
+        """
         if self.forward_fn is not None:
             logits = self.forward_fn(x_normalized)
             emits_prob = False
         else:
-            logits = self.module.apply(self.variables, x_normalized,
-                                       train=False)
+            logits = self.module.apply(variables, x_normalized, train=False)
             emits_prob = self.module.config.final_sigmoid
         prob = logits[..., 0].astype(jnp.float32)
         if self.cfg.apply_sigmoid and not emits_prob:
             prob = jax.nn.sigmoid(prob)
         return prob
 
-    def _forward_prob(self, frames_rgb: jnp.ndarray) -> jnp.ndarray:
+    def _forward_prob(self, variables, frames_rgb: jnp.ndarray) -> jnp.ndarray:
         """[N, h, w, 3] uint8 RGB -> [N, 224, 224] probabilities."""
         ih, iw = self.cfg.input_size
         x = self._resize(frames_rgb, (ih, iw))
         x = normalize_image(x, self.cfg.mean, self.cfg.std,
                             dtype=self.compute_dtype)
-        return self._apply_model(x)
+        return self._apply_model(variables, x)
 
     @classmethod
     def from_quantized(cls, quantized, config: PipelineConfig | None = None,
@@ -124,7 +129,7 @@ class LaneSegmenter:
                       x.astype(jnp.float32), mode=mode))
         return seg
 
-    def _predict_fn(self, frames_rgb, threshold):
+    def _predict_fn(self, variables, frames_rgb, threshold):
         """uint8 RGB frames -> uint8 {0..255} masks at input resolution.
 
         Threshold-then-resize, matching reference src/unet.py:63-70 (the
@@ -132,11 +137,11 @@ class LaneSegmenter:
         intermediate values exactly as cv2.resize produces).
         """
         h, w = frames_rgb.shape[1:3]
-        prob = self._forward_prob(frames_rgb)
+        prob = self._forward_prob(variables, frames_rgb)
         binary = (prob > threshold).astype(jnp.uint8) * jnp.uint8(255)
         return self._resize(binary[..., None], (h, w))[..., 0]
 
-    def _predict_warped_fn(self, frames_bgr, threshold):
+    def _predict_warped_fn(self, variables, frames_bgr, threshold):
         """Raw BGR camera frames -> bird's-eye binary masks.
 
         Fuses the reference's host chain (src/unet_ros_node.py:300-313):
@@ -160,19 +165,21 @@ class LaneSegmenter:
             rgb = small[..., ::-1]
             x = normalize_image(rgb, self.cfg.mean, self.cfg.std,
                                 dtype=self.compute_dtype)
-            prob = self._apply_model(x)
+            prob = self._apply_model(variables, x)
         else:
             warped = warp_perspective(frames_bgr, self.ipm_matrix, (ow, oh))
             rgb = warped[..., ::-1]
-            prob = self._forward_prob(rgb)
+            prob = self._forward_prob(variables, rgb)
         binary = (prob > threshold).astype(jnp.uint8) * jnp.uint8(255)
         return self._resize(binary[..., None], (oh, ow))[..., 0]
 
     def _get_jitted(self, kind: str):
+        """Jitted fn(variables, frames, threshold) for each pipeline kind."""
         fn = self._jit_cache.get(kind)
         if fn is None:
-            raw = {"plain": self._predict_fn, "warped": self._predict_warped_fn,
-                   "prob": lambda f, t: self._forward_prob(f)}[kind]
+            raw = {"plain": self._predict_fn,
+                   "warped": self._predict_warped_fn,
+                   "prob": lambda v, f, t: self._forward_prob(v, f)}[kind]
             fn = jax.jit(raw)
             self._jit_cache[kind] = fn
         return fn
@@ -188,7 +195,7 @@ class LaneSegmenter:
         kind = "warped" if warped_input else "plain"
         fn = self._get_jitted(kind)
         x = jax.device_put(jnp.asarray(frames_rgb, dtype=jnp.uint8), self.device)
-        out = fn(x, jnp.float32(threshold))
+        out = fn(self.variables, x, jnp.float32(threshold))
         if warped_input:
             # output is already in the bird's-eye frame
             pass
@@ -226,14 +233,14 @@ class LaneSegmenter:
         fn = self._get_jitted("warped")
         t0 = time.perf_counter()
         x = jax.device_put(jnp.asarray(frame_bgr[None], dtype=jnp.uint8), self.device)
-        out = np.asarray(fn(x, jnp.float32(threshold))[0])
+        out = np.asarray(fn(self.variables, x, jnp.float32(threshold))[0])
         return out, time.perf_counter() - t0
 
     def predict_prob(self, frames_rgb: np.ndarray) -> np.ndarray:
         """[N, H, W, 3] uint8 -> [N, 224, 224] float probabilities."""
         fn = self._get_jitted("prob")
         x = jax.device_put(jnp.asarray(frames_rgb, dtype=jnp.uint8), self.device)
-        return np.asarray(fn(x, jnp.float32(0.5)))
+        return np.asarray(fn(self.variables, x, jnp.float32(0.5)))
 
     # ------------------------------------------------------------------
     # Video / benchmark (parity with src/unet.py:99-188)
@@ -305,7 +312,7 @@ class LaneSegmenter:
         fn = self._get_jitted("warped" if warped else "plain")
         thr = jnp.float32(self.cfg.threshold)
         x = jax.device_put(jnp.asarray(batch), self.device)
-        stats = time_fn(fn, x, thr, warmup=warmup, runs=num_runs)
+        stats = time_fn(fn, self.variables, x, thr, warmup=warmup, runs=num_runs)
         stats["batch_size"] = bs
         stats["fps"] = float(bs / (stats["avg_ms"] / 1e3))
         return stats

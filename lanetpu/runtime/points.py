@@ -48,18 +48,21 @@ class LanePointsRegressor:
         self.variables = variables
         self._jitted = jax.jit(self._forward)
 
-    def _forward(self, frames: jnp.ndarray) -> jnp.ndarray:
+    def _forward(self, variables, frames: jnp.ndarray) -> jnp.ndarray:
+        # variables as a jit ARG (closed-over device arrays get fetched to
+        # host at lowering to become constants — slow and bloaty)
         x = resize_bilinear(frames, self.input_size)
         if self.bgr_input:
             x = x[..., ::-1]
         x = normalize_image(x, dtype=self.compute_dtype)
-        out = self.module.apply(self.variables, x, train=False)
+        out = self.module.apply(variables, x, train=False)
         return out.astype(jnp.float32)
 
     def inference_batch(self, frames: np.ndarray):
         """[N, H, W, 3] uint8 -> [N, num_points, 2] pixel coordinates."""
         h, w = frames.shape[1:3]
-        raw = np.asarray(self._jitted(jnp.asarray(frames, dtype=jnp.uint8)))
+        raw = np.asarray(self._jitted(self.variables,
+                                      jnp.asarray(frames, dtype=jnp.uint8)))
         raw = np.clip(raw, 0.0, 1.0)  # reference rknpu_inference.py:81
         if self.mode == "centerline":
             pts = raw.reshape(-1, self.num_points, 2).copy()
@@ -87,13 +90,15 @@ class LanePointsRegressor:
         """Random-input throughput test (reference src/resnet50_node.py:344-380)."""
         rng = np.random.default_rng(0)
         batch = rng.integers(0, 256, size=(batch_size, 685, 1055, 3), dtype=np.uint8)
+        from lanetpu.utils.timing import device_sync
+
         x = jnp.asarray(batch)
         for _ in range(10):
-            self._jitted(x).block_until_ready()
+            device_sync(self._jitted(self.variables, x))
         times = []
         for _ in range(test_iterations):
             t0 = time.perf_counter()
-            self._jitted(x).block_until_ready()
+            device_sync(self._jitted(self.variables, x))
             times.append(time.perf_counter() - t0)
         times = np.asarray(times)
         return {
