@@ -29,9 +29,29 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _enable_compilation_cache():
+    """Persist XLA compilations across runs — remote compiles can take
+    minutes; the cache makes repeated bench invocations start instantly."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "LANETPU_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "lanetpu", "xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compilation_cache()
 
     from lanetpu.core.config import PipelineConfig, UNetConfig
     from lanetpu.models.unet import UNet

@@ -35,10 +35,13 @@ from lanetpu.kernels.resample import _twopass_coords
 
 
 def _pass1_kernel(sxr_ref, src_ref, out_ref):
-    # sxr_ref: [1, OW] f32; src_ref: [1, W, NBC]; out_ref: [1, OW, NBC]
+    # sxr_ref: [1, 1, OW] f32; src_ref: [1, W, NBC]; out_ref: [1, OW, NBC]
+    # (leading singleton dims keep Mosaic's last-two-dims block constraints
+    # satisfied: every block's trailing dims equal the array dims)
     w = src_ref.shape[1]
-    iota_w = jax.lax.broadcasted_iota(jnp.float32, (1, w), 1)  # [1, W]
-    coords = sxr_ref[0, :]                                     # [OW]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(
+        jnp.float32)  # [1, W] (Mosaic iota must be integer-typed)
+    coords = sxr_ref[0, 0, :]                                  # [OW]
     w1 = jax.nn.relu(1.0 - jnp.abs(iota_w - coords[:, None]))  # [OW, W]
     out_ref[0] = jnp.dot(w1.astype(src_ref.dtype), src_ref[0],
                          preferred_element_type=jnp.float32
@@ -46,10 +49,11 @@ def _pass1_kernel(sxr_ref, src_ref, out_ref):
 
 
 def _pass2_kernel(tv_ref, inter_ref, out_ref):
-    # tv_ref: [OH, 1] f32; inter_ref: [1, H, NBC]; out_ref: [1, OH, NBC]
+    # tv_ref: [1, 1, OH] f32; inter_ref: [1, H, NBC]; out_ref: [1, OH, NBC]
     h = inter_ref.shape[1]
-    iota_h = jax.lax.broadcasted_iota(jnp.float32, (1, h), 1)  # [1, H]
-    coords = tv_ref[:, 0]                                      # [OH]
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, h), 1).astype(
+        jnp.float32)  # [1, H]
+    coords = tv_ref[0, 0, :]                                   # [OH]
     w2 = jax.nn.relu(1.0 - jnp.abs(iota_h - coords[:, None]))  # [OH, H]
     out_ref[0] = jnp.dot(w2.astype(inter_ref.dtype), inter_ref[0],
                          preferred_element_type=jnp.float32
@@ -65,11 +69,14 @@ def _warp_pallas_impl(x_hwnc, sxr, tv, out_wh, in_hw, compute_dtype,
     ow, oh = out_wh
     nbc = x_hwnc.shape[-1]
 
+    # Coordinate tables carry a singleton middle axis so every BlockSpec's
+    # last two dims equal the array's dims (Mosaic tiling constraint).
+    sxr3 = sxr.reshape(h, 1, ow)
     inter = pl.pallas_call(
         _pass1_kernel,
         grid=(h,),
         in_specs=[
-            pl.BlockSpec((1, ow), lambda y: (y, 0),
+            pl.BlockSpec((1, 1, ow), lambda y: (y, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w, nbc), lambda y: (y, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -78,14 +85,15 @@ def _warp_pallas_impl(x_hwnc, sxr, tv, out_wh, in_hw, compute_dtype,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, ow, nbc), compute_dtype),
         interpret=interpret,
-    )(sxr, x_hwnc)
+    )(sxr3, x_hwnc)
 
     inter_t = jnp.transpose(inter, (1, 0, 2))  # [OW, H, NBC]
+    tv3 = jnp.transpose(tv, (1, 0)).reshape(ow, 1, oh)
     out = pl.pallas_call(
         _pass2_kernel,
         grid=(ow,),
         in_specs=[
-            pl.BlockSpec((oh, 1), lambda x: (0, x),
+            pl.BlockSpec((1, 1, oh), lambda x: (x, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, nbc), lambda x: (x, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -94,7 +102,7 @@ def _warp_pallas_impl(x_hwnc, sxr, tv, out_wh, in_hw, compute_dtype,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ow, oh, nbc), compute_dtype),
         interpret=interpret,
-    )(tv, inter_t)
+    )(tv3, inter_t)
     return out  # [OW, OH, NBC]
 
 

@@ -1,0 +1,53 @@
+"""Multi-model fused pipeline tests (small models, CPU)."""
+
+import numpy as np
+import pytest
+
+from lanetpu.core.config import PipelineConfig, ResNetConfig, UNetConfig, YoloConfig
+from lanetpu.models.resnet import ResNetRegressor
+from lanetpu.models.unet import UNet
+from lanetpu.models.yolo import YoloDetector
+from lanetpu.pipeline.multimodel import MultiModelPipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    classes = ("a", "b", "c")
+    ycfg = YoloConfig(num_classes=3, img_size=(128, 128), width_mult=0.25,
+                      depth_mult=0.33)
+    cfg = PipelineConfig(compute_dtype="float32")
+    return MultiModelPipeline(
+        unet=UNet(config=UNetConfig(features=(4, 8))),
+        resnet=ResNetRegressor(config=ResNetConfig(depth=18, num_outputs=4)),
+        yolo=YoloDetector(config=ycfg),
+        config=cfg, yolo_config=ycfg, classes=classes)
+
+
+def test_process_batch_outputs(pipeline, rng):
+    frames = rng.integers(0, 256, (2, 240, 320, 3), dtype=np.uint8)
+    out = pipeline.process_batch(frames)
+    ow, oh = pipeline.cfg.ipm_output_size
+    assert out["masks"].shape == (2, oh, ow)
+    assert out["masks"].dtype == np.uint8
+    assert out["points"].shape == (2, 4, 2)
+    # points within the bird's-eye frame
+    assert (out["points"][..., 0] >= 0).all()
+    assert (out["points"][..., 0] <= ow).all()
+    assert len(out["detections"]) == 2
+
+
+def test_single_program_consistency(pipeline, rng):
+    """The fused program must match the standalone lane pipeline."""
+    from lanetpu.runtime.lane import LaneSegmenter
+
+    frames = rng.integers(0, 256, (1, 240, 320, 3), dtype=np.uint8)
+    seg = LaneSegmenter(module=pipeline.unet, variables=pipeline.unet_vars,
+                        config=pipeline.cfg)
+    solo_mask, _ = seg.predict_warped(frames[0])
+    fused = pipeline.process_batch(frames)["masks"][0]
+    np.testing.assert_array_equal(solo_mask, fused)
+
+
+def test_benchmark_runs(pipeline):
+    stats = pipeline.benchmark(batch_size=2, num_runs=2, warmup=1)
+    assert stats["fps"] > 0
