@@ -106,6 +106,16 @@ def cmd_train_points(args):
                       "output": args.output}))
 
 
+def cmd_train_detect(args):
+    from lanetpu.train.detect_task import train_yolo
+
+    result = train_yolo(num_classes=args.num_classes,
+                        img_size=(args.img_size, args.img_size),
+                        epochs=args.epochs, save_path=args.output)
+    print(json.dumps({"final_loss": result["history"][-1]["loss"],
+                      "output": args.output}))
+
+
 def cmd_quantize(args):
     import jax.numpy as jnp
 
@@ -246,6 +256,13 @@ def build_parser():
     sp.add_argument("--epochs", type=int, default=10)
     sp.add_argument("-o", "--output", default="points_model.ltpu")
     sp.set_defaults(fn=cmd_train_points)
+
+    sp = sub.add_parser("train-detect", help="train the YOLO detector")
+    sp.add_argument("--num-classes", type=int, default=11)
+    sp.add_argument("--img-size", type=int, default=256)
+    sp.add_argument("--epochs", type=int, default=10)
+    sp.add_argument("-o", "--output", default="yolo_model.ltpu")
+    sp.set_defaults(fn=cmd_train_detect)
 
     sp = sub.add_parser("quantize", help="calibrate + int8-quantize")
     common(sp)

@@ -57,15 +57,16 @@ class DetectionRecorder:
             gts = [g for g in self.ground_truth if g["category_id"] == cat]
             for t in iou_thresholds:
                 aps[t].append(_average_precision(dets, gts, t))
-        per_t = {float(t): float(np.mean(v)) if v else 0.0
+        per_t = {round(float(t), 2): float(np.mean(v)) if v else 0.0
                  for t, v in aps.items()}
         vals = list(per_t.values())
+        # np.arange float keys drift (0.7500000000000002); rounded keys +
+        # nearest-match lookups keep the headline numbers honest
         return {
             "map": float(np.mean(vals)) if vals else 0.0,
-            "map50": per_t.get(0.5, 0.0),
-            "map75": per_t.get(0.75, 0.0),
-            "map85": per_t.get(0.8500000000000003,
-                               per_t.get(0.85, _closest(per_t, 0.85))),
+            "map50": _closest(per_t, 0.50),
+            "map75": _closest(per_t, 0.75),
+            "map85": _closest(per_t, 0.85),
             "map95": _closest(per_t, 0.95),
             "per_threshold": per_t,
         }

@@ -182,6 +182,7 @@ def _build_yolo(meta: dict):
 
     cfg = YoloConfig(
         num_classes=meta.get("num_classes", 12),
+        img_size=tuple(meta.get("img_size", (640, 640))),
         width_mult=meta.get("width_mult", 0.25),
         depth_mult=meta.get("depth_mult", 0.33),
     )

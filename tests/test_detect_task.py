@@ -1,0 +1,112 @@
+"""YOLO training task tests: data, assignment geometry, loss, smoke train."""
+
+import numpy as np
+import pytest
+
+from lanetpu.train.detect_task import (
+    _anchor_centers,
+    assign_targets,
+    make_batch,
+    render_detection_sample,
+    train_yolo,
+    yolo_loss,
+)
+
+
+def test_render_sample_deterministic():
+    a = render_detection_sample(3, seed=1, image_size=(128, 128))
+    b = render_detection_sample(3, seed=1, image_size=(128, 128))
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    img, boxes, classes = a
+    assert img.shape == (128, 128, 3)
+    assert len(boxes) == len(classes) >= 1
+    assert (boxes[:, 2] > boxes[:, 0]).all()
+
+
+def test_anchor_centers_layout():
+    centers, strides = _anchor_centers((64, 64), (8, 16, 32))
+    assert len(centers) == 8 * 8 + 4 * 4 + 2 * 2
+    # first anchor of the finest level at (4, 4)
+    np.testing.assert_allclose(centers[0], [4.0, 4.0])
+    assert strides[0] == 8 and strides[-1] == 32
+
+
+def test_assignment_centers_inside_box():
+    boxes = np.array([[16.0, 16.0, 48.0, 48.0]], np.float32)
+    classes = np.array([2])
+    cls_t, ltrb_t, pos = assign_targets(boxes, classes, (64, 64),
+                                        num_classes=5)
+    centers, strides = _anchor_centers((64, 64), (8, 16, 32))
+    assert pos.any()
+    # every positive anchor's center lies inside the box
+    for i in np.nonzero(pos)[0]:
+        cx, cy = centers[i]
+        assert 16 < cx < 48 and 16 < cy < 48
+        assert cls_t[i, 2] == 1.0
+        # ltrb in stride units decodes back to the box
+        l, t, r, b = ltrb_t[i] * strides[i]
+        np.testing.assert_allclose(
+            [cx - l, cy - t, cx + r, cy + b], boxes[0], atol=1e-4)
+
+
+def test_assignment_empty():
+    cls_t, ltrb_t, pos = assign_targets(np.zeros((0, 4), np.float32),
+                                        np.zeros(0, np.int64), (64, 64),
+                                        num_classes=3)
+    assert not pos.any()
+
+
+def test_loss_decreasing_toward_targets(rng):
+    """Loss at the true target distribution is lower than at random logits."""
+    import jax.numpy as jnp
+
+    imgs, cls_t, ltrb_t, pos, _ = make_batch([0, 1], 42, (64, 64), 3)
+    a = cls_t.shape[1]
+    bins = 16
+
+    def fake_outputs(level_sizes, cls_vals, dfl_vals):
+        outs, off = [], 0
+        for (h, w) in level_sizes:
+            n = h * w
+            outs.append((jnp.asarray(dfl_vals[:, off:off + n].reshape(
+                2, h, w, 4 * bins)),
+                jnp.asarray(cls_vals[:, off:off + n].reshape(2, h, w, -1))))
+            off += n
+        return outs
+
+    sizes = [(8, 8), (4, 4), (2, 2)]
+    rng_ = np.random.default_rng(0)
+    rand_cls = rng_.standard_normal((2, a, 3)).astype(np.float32)
+    rand_dfl = rng_.standard_normal((2, a, 4 * bins)).astype(np.float32)
+    loss_rand, _ = yolo_loss(fake_outputs(sizes, rand_cls, rand_dfl),
+                             jnp.asarray(cls_t), jnp.asarray(ltrb_t),
+                             jnp.asarray(pos), bins)
+
+    # near-perfect logits: +/-8 for cls, one-hot-ish DFL at the target bin
+    good_cls = (cls_t * 16 - 8).astype(np.float32)
+    tgt = np.clip(ltrb_t, 0, bins - 1 - 1e-3)
+    good_dfl = np.zeros((2, a, 4, bins), np.float32)
+    lo = np.floor(tgt).astype(int)
+    for b_ in range(2):
+        for i in range(a):
+            for k in range(4):
+                good_dfl[b_, i, k, lo[b_, i, k]] = 12.0
+    loss_good, _ = yolo_loss(
+        fake_outputs(sizes, good_cls, good_dfl.reshape(2, a, -1)),
+        jnp.asarray(cls_t), jnp.asarray(ltrb_t), jnp.asarray(pos), bins)
+    assert float(loss_good) < float(loss_rand) * 0.2
+
+
+def test_train_yolo_smoke(tmp_path):
+    """A tiny run must reduce the loss and write a loadable artifact."""
+    from lanetpu.runtime.engine import load_engine
+
+    path = str(tmp_path / "yolo.ltpu")
+    result = train_yolo(num_classes=3, img_size=(64, 64), epochs=3,
+                        num_train=16, batch_size=4, compute_dtype=np.float32,
+                        save_path=path, verbose=False)
+    losses = [h["loss"] for h in result["history"]]
+    assert losses[-1] < losses[0]
+    module, variables, meta = load_engine(path)
+    assert meta["arch"] == "yolo" and meta["num_classes"] == 3
