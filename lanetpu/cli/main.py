@@ -162,6 +162,18 @@ def cmd_quantize(args):
     print(f"quantized model -> {args.output}")
 
 
+def cmd_eval_scenes(args):
+    from lanetpu.eval.scenes import evaluate_by_scene
+
+    seg = _load_segmenter(args)
+    report = evaluate_by_scene(seg.predict_batch,
+                               num_samples=args.num_samples,
+                               offset=args.offset)
+    print(json.dumps({k: {m: round(v, 4) if isinstance(v, float) else v
+                          for m, v in d.items()}
+                      for k, d in report.items()}, indent=2))
+
+
 def cmd_eval(args):
     from PIL import Image
 
@@ -274,6 +286,13 @@ def build_parser():
     sp.add_argument("pred")
     sp.add_argument("target")
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("eval-scenes",
+                        help="per-scene IoU/Dice on the synthetic val set")
+    common(sp)
+    sp.add_argument("--num-samples", type=int, default=64)
+    sp.add_argument("--offset", type=int, default=512)
+    sp.set_defaults(fn=cmd_eval_scenes)
 
     sp = sub.add_parser("detect", help="YOLO detection on images")
     common(sp)

@@ -34,8 +34,15 @@ def _draw_line(mask: np.ndarray, xs: np.ndarray, width: float):
     return mask
 
 
-def generate_sample(index: int, seed: int = 42, image_size=(224, 224)):
-    """Render one (image uint8 RGB [H,W,3], mask float32 [H,W,1]) pair."""
+def generate_sample(index: int, seed: int = 42, image_size=(224, 224),
+                    return_meta: bool = False):
+    """Render one (image uint8 RGB [H,W,3], mask float32 [H,W,1]) pair.
+
+    With return_meta=True also returns {'gain', 'wb', 'blurred', 'scene'} —
+    the scene tag buckets lighting/blur conditions so quality can be
+    reported per scene like the reference's table (README.md:4189-4206:
+    normal / low-light / bright / blur...).
+    """
     h, w = image_size
     rng = np.random.default_rng(np.random.SeedSequence([seed, index]))
 
@@ -75,7 +82,8 @@ def generate_sample(index: int, seed: int = 42, image_size=(224, 224)):
     img = img * gain * wb
 
     # Mild blur via separable box filter
-    if rng.random() < 0.4:
+    blurred = rng.random() < 0.4
+    if blurred:
         k = int(rng.integers(1, 3))
         if k > 0:
             kernel = np.ones(2 * k + 1) / (2 * k + 1)
@@ -85,7 +93,20 @@ def generate_sample(index: int, seed: int = 42, image_size=(224, 224)):
                 lambda m: np.convolve(m, kernel, mode="same"), 1, img)
 
     img = np.clip(img, 0, 255).astype(np.uint8)
-    return img, mask.astype(np.float32)[..., None]
+    mask = mask.astype(np.float32)[..., None]
+    if return_meta:
+        if gain < 0.85:
+            scene = "low_light"
+        elif gain > 1.2:
+            scene = "bright"
+        elif blurred:
+            scene = "blur"
+        else:
+            scene = "normal"
+        meta = {"gain": float(gain), "wb": wb.tolist(), "blurred": blurred,
+                "scene": scene}
+        return img, mask, meta
+    return img, mask
 
 
 def generate_batch(indices, seed: int = 42, image_size=(224, 224)):
