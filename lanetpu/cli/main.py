@@ -204,6 +204,41 @@ def cmd_detect(args):
     print(json.dumps(results, indent=2))
 
 
+def cmd_serve(args):
+    from lanetpu.pipeline.server import PerceptionServer
+
+    seg = _load_segmenter(args)
+    detector = None
+    if args.yolo_model:
+        from lanetpu.core.config import YoloConfig
+        from lanetpu.models.yolo import CLASSES_11, CLASSES_12
+        from lanetpu.runtime.detector import YoloEngine
+        from lanetpu.runtime.engine import load_engine
+
+        _, variables, meta = load_engine(args.yolo_model)
+        nc = meta["num_classes"]
+        classes = (CLASSES_11 if nc == 11 else CLASSES_12 if nc == 12
+                   else tuple(str(i) for i in range(nc)))
+        from lanetpu.models.yolo import YoloDetector
+
+        ycfg = YoloConfig(num_classes=nc,
+                          img_size=tuple(meta.get("img_size", (640, 640))))
+        detector = YoloEngine(module=YoloDetector(config=ycfg),
+                              variables=variables, config=ycfg,
+                              classes=classes)
+    server = PerceptionServer(segmenter=seg, detector=detector,
+                              host=args.host, port=args.port).start()
+    print(f"serving on http://{args.host}:{server.port} "
+          f"(/healthz /segment /detect)", flush=True)
+    try:
+        import signal
+        import threading
+
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.stop()
+
+
 def cmd_stream(args):
     import jax.numpy as jnp
 
@@ -298,6 +333,13 @@ def build_parser():
     common(sp)
     sp.add_argument("images", nargs="+")
     sp.set_defaults(fn=cmd_detect)
+
+    sp = sub.add_parser("serve", help="HTTP perception server")
+    common(sp)
+    sp.add_argument("--yolo-model", help="detector checkpoint (.ltpu)")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8080)
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("stream", help="streaming pipeline benchmark")
     common(sp)

@@ -53,15 +53,24 @@ class Trainer:
             config=UNetConfig(features=tuple(self.cfg.features)))
         self.device = jax.devices()[0]
 
-        self.train_ds = SyntheticLaneDataset(
-            self.cfg.num_train, seed=self.cfg.seed,
-            image_size=tuple(self.cfg.image_size))
-        self.val_ds = SyntheticLaneDataset(
-            self.cfg.num_val, seed=self.cfg.seed + 1,
-            image_size=tuple(self.cfg.image_size),
-            offset=self.cfg.num_train)
+        if not self.cfg.synthetic and self.cfg.data_root and os.path.isdir(
+                self.cfg.data_root):
+            # on-disk paired image/mask dataset (reference LaneDataset,
+            # README.md:1996-2030)
+            from lanetpu.train.data import resolve_datasets
 
-        steps_per_epoch = max(1, self.cfg.num_train // self.cfg.batch_size)
+            self.train_ds, self.val_ds = resolve_datasets(
+                self.cfg.data_root, tuple(self.cfg.image_size))
+        else:
+            self.train_ds = SyntheticLaneDataset(
+                self.cfg.num_train, seed=self.cfg.seed,
+                image_size=tuple(self.cfg.image_size))
+            self.val_ds = SyntheticLaneDataset(
+                self.cfg.num_val, seed=self.cfg.seed + 1,
+                image_size=tuple(self.cfg.image_size),
+                offset=self.cfg.num_train)
+
+        steps_per_epoch = max(1, len(self.train_ds) // self.cfg.batch_size)
         self.steps_per_epoch = steps_per_epoch
         self.state: TrainState = create_train_state(
             self.module, jax.random.PRNGKey(self.cfg.seed), self.cfg,
