@@ -24,9 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+try:
+    # jax>=0.5 mechanism; the XLA_FLAGS spelling above is ignored by some
+    # versions when set this late.
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, not the TPU tunnel")
-assert len(jax.devices()) >= 8, "xla_force_host_platform_device_count not applied"
+assert len(jax.devices()) >= 8, "virtual CPU device count not applied"
 
 import numpy as np
 import pytest
