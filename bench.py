@@ -69,7 +69,9 @@ def main():
 
     rng = np.random.default_rng(0)
     best = None
-    for bs in (64, 256):
+    # batch 256 is the measured sweet spot (docs/performance.md); a single
+    # configuration keeps the run to one (cached) compile
+    for bs in (256,):
         frames = jax.device_put(jnp.asarray(
             rng.integers(0, 256, size=(bs, 480, 640, 3), dtype=np.uint8)),
             seg.device)
