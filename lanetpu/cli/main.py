@@ -22,7 +22,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 
 import numpy as np
 
@@ -231,7 +230,6 @@ def cmd_serve(args):
     print(f"serving on http://{args.host}:{server.port} "
           f"(/healthz /segment /detect)", flush=True)
     try:
-        import signal
         import threading
 
         threading.Event().wait()

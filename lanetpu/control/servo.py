@@ -19,7 +19,7 @@ everything here is a few host flops. No ROS: the pipeline layer
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from lanetpu.control.lidar import front_distance
 from lanetpu.control.pid import PID

@@ -13,7 +13,6 @@ from collections import defaultdict
 
 import numpy as np
 
-from lanetpu.eval.metrics import dice_score, iou_score
 from lanetpu.train.synthetic import generate_sample
 
 

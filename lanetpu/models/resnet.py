@@ -12,7 +12,7 @@ outputs to that range; we bound them with a sigmoid head instead, so the
 clip in postprocessing is a no-op for well-trained models).
 """
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Architecture: CSP backbone with C2f blocks + SPPF, PAN neck, decoupled head.
 Width/depth multipliers select the model scale (default ~YOLOv8n).
 """
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

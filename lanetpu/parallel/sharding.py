@@ -9,8 +9,7 @@ identical to the single-chip one in `lanetpu.train.steps`.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from lanetpu.core.config import TrainConfig
 from lanetpu.parallel.mesh import batch_sharding, replicated

@@ -18,8 +18,6 @@ on the <=top_k YOLO survivors and the pixel-scaling of the points.
 from __future__ import annotations
 
 import time
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

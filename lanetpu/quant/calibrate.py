@@ -27,10 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from lanetpu.quant.fold import unet_layer_plan
 from lanetpu.quant.functional_unet import unet_forward_folded
 from lanetpu.quant.qtensor import (
-    QuantParams,
     asymmetric_qparams,
     quantize_asymmetric,
     quantize_symmetric_per_channel,

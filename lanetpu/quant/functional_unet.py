@@ -11,7 +11,6 @@ Conv layout is NHWC x HWIO -> NHWC (XLA's native TPU layout).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

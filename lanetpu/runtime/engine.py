@@ -23,10 +23,9 @@ JSON header describing the architecture, produced by `save_checkpoint`.
 from __future__ import annotations
 
 import json
-import os
 import struct
 import time
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -194,12 +193,16 @@ def load_engine(model_path: str, backend: str = "tpu") -> tuple:
 
     The extension-dispatch analogue of the reference's setup_model
     (src/yolo_detector.py:223-238), except the artifact is self-describing.
+    `backend="cpu"` places the variables on the host CPU device (the
+    simulator-mode analogue); otherwise they go to the default device.
     """
     meta, variables = load_checkpoint(model_path)
     arch = meta.get("arch")
     if arch not in _ARCH_BUILDERS:
         raise ValueError(f"unknown arch {arch!r} in {model_path}")
     module = _ARCH_BUILDERS[arch](meta)
+    if backend == "cpu":
+        variables = jax.device_put(variables, jax.devices("cpu")[0])
     return module, variables, meta
 
 

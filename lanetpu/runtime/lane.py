@@ -17,9 +17,7 @@ Two entry pipelines:
 
 from __future__ import annotations
 
-import os
 import time
-from functools import partial
 from typing import Any
 
 import jax

@@ -15,8 +15,6 @@ ResNet forward; postprocess (clip, scale to pixels) is a few host flops.
 from __future__ import annotations
 
 import time
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,8 +11,6 @@ lightweight inference artifact (.ltpu msgpack) remains
 from __future__ import annotations
 
 import os
-from typing import Any
-
 import jax
 import numpy as np
 

@@ -21,8 +21,6 @@ the synthetic task and keeps the code audit-able.
 from __future__ import annotations
 
 import os
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np
