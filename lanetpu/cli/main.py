@@ -116,6 +116,28 @@ def cmd_train_detect(args):
 
 
 def cmd_quantize(args):
+    from lanetpu.runtime.engine import load_checkpoint
+
+    meta, _ = load_checkpoint(args.model)
+    method = args.method
+    if method == "auto":
+        # folded (BN-fold + layer plan) is the specialized U-Net path;
+        # everything else goes through the generic interception substrate.
+        method = "folded" if meta.get("arch") == "unet" else "generic"
+
+    if method == "generic":
+        from lanetpu.quant.pipeline import quantize_checkpoint
+
+        out = args.output
+        if out == "model_int8.pkl":  # legacy default name is unet-specific
+            out = args.model.replace(".ltpu", "") + "_int8.ltpu"
+        rep = quantize_checkpoint(args.model, out,
+                                  calib_images=args.calib_images)
+        print(json.dumps(rep))
+        print(f"quantized model -> {out}")
+        return
+
+    import jax
     import jax.numpy as jnp
 
     from lanetpu.quant import (
@@ -126,17 +148,18 @@ def cmd_quantize(args):
         unet_forward_folded,
     )
     from lanetpu.runtime.engine import load_engine
-    from lanetpu.train.synthetic import SyntheticLaneDataset
+    from lanetpu.train.synthetic import calibration_indices, generate_batch
     from lanetpu.train.augment import preprocess_eval_batch
-    import jax
 
     module, variables, meta = load_engine(args.model)
     features = tuple(meta["features"])
     folded = fold_unet_batchnorm(variables, features)
 
-    ds = SyntheticLaneDataset(args.calib_images, seed=123)
+    # scene-quota-stratified calibration set (README.md:3313-3336 parity)
+    idx = calibration_indices(args.calib_images, seed=123)
     batches = []
-    for imgs, masks in ds.batches(8, shuffle=False, drop_last=False):
+    for i in range(0, len(idx), 8):
+        imgs, masks = generate_batch(idx[i:i + 8], 123)
         x, _ = preprocess_eval_batch(imgs, masks)
         batches.append(np.asarray(x))
     ranges = calibrate_unet(folded, features, batches)
@@ -309,9 +332,14 @@ def build_parser():
     sp.add_argument("-o", "--output", default="yolo_model.ltpu")
     sp.set_defaults(fn=cmd_train_detect)
 
-    sp = sub.add_parser("quantize", help="calibrate + int8-quantize")
+    sp = sub.add_parser("quantize",
+                        help="calibrate + int8-quantize any .ltpu model")
     common(sp)
     sp.add_argument("--calib-images", type=int, default=100)
+    sp.add_argument("--method", choices=["auto", "folded", "generic"],
+                    default="auto",
+                    help="folded = BN-fold U-Net path (pkl); generic = "
+                         "interception substrate, any arch (int8 .ltpu)")
     sp.add_argument("-o", "--output", default="model_int8.pkl")
     sp.set_defaults(fn=cmd_quantize)
 

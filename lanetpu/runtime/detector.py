@@ -30,10 +30,14 @@ class YoloEngine:
                  variables: dict | None = None,
                  config: YoloConfig | None = None,
                  classes: Sequence[str] = CLASSES_12,
-                 compute_dtype="bfloat16", rng_seed: int = 0):
+                 compute_dtype="bfloat16", rng_seed: int = 0, apply_fn=None):
         self.cfg = config or YoloConfig(num_classes=len(classes))
         self.classes = tuple(classes)
         self.module = module or YoloDetector(config=self.cfg)
+        # apply_fn(variables, x) overrides module.apply — the hook that runs
+        # int8 artifacts (runtime.engine.build_apply_fn) in this pipeline.
+        self._apply = apply_fn or (
+            lambda v, x: self.module.apply(v, x, train=False))
         ih, iw = self.cfg.img_size
         if variables is None:
             variables = self.module.init(
@@ -41,6 +45,27 @@ class YoloEngine:
         self.variables = variables
         self.compute_dtype = jnp.dtype(compute_dtype)
         self._jitted = jax.jit(self._device_fn)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, classes: Sequence[str] | None = None,
+                        **kwargs):
+        """Build from a .ltpu artifact (fp32 or int8-quantized)."""
+        from lanetpu.runtime.engine import build_apply_fn, load_engine
+
+        module, variables, meta = load_engine(path)
+        nc = meta.get("num_classes", 12)
+        if classes is None:
+            from lanetpu.models.yolo import CLASSES_11
+
+            classes = (CLASSES_11 if nc == 11 else CLASSES_12 if nc == 12
+                       else tuple(str(i) for i in range(nc)))
+        cfg = YoloConfig(num_classes=nc,
+                         img_size=tuple(meta.get("img_size", (640, 640))),
+                         width_mult=meta.get("width_mult", 0.25),
+                         depth_mult=meta.get("depth_mult", 0.33))
+        return cls(module=module, variables=variables, config=cfg,
+                   classes=classes, apply_fn=build_apply_fn(module, meta),
+                   **kwargs)
 
     def _device_fn(self, variables, frames_bgr: jnp.ndarray):
         """[N, H, W, 3] uint8 BGR frames -> top-k (boxes, scores, classes).
@@ -52,8 +77,7 @@ class YoloEngine:
         ih, iw = self.cfg.img_size
         img = letterbox(frames_bgr, (ih, iw))
         rgb = img[..., ::-1].astype(jnp.float32) / 255.0
-        outputs = self.module.apply(variables, rgb.astype(self.compute_dtype),
-                                    train=False)
+        outputs = self._apply(variables, rgb.astype(self.compute_dtype))
         return decode_detections(tuple(outputs), img_size=self.cfg.img_size,
                                  strides=self.cfg.strides, bins=self.cfg.dfl_bins)
 

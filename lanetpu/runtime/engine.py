@@ -195,6 +195,10 @@ def load_engine(model_path: str, backend: str = "tpu") -> tuple:
     (src/yolo_detector.py:223-238), except the artifact is self-describing.
     `backend="cpu"` places the variables on the host CPU device (the
     simulator-mode analogue); otherwise they go to the default device.
+
+    For int8 artifacts (meta["quant"] present, written by
+    save_quantized_checkpoint) `variables` is the {"fp": ..., "q": ...}
+    bundle consumed by the apply fn from `build_apply_fn`.
     """
     meta, variables = load_checkpoint(model_path)
     arch = meta.get("arch")
@@ -204,6 +208,42 @@ def load_engine(model_path: str, backend: str = "tpu") -> tuple:
     if backend == "cpu":
         variables = jax.device_put(variables, jax.devices("cpu")[0])
     return module, variables, meta
+
+
+def save_quantized_checkpoint(path: str, base_meta: dict, fp_variables: dict,
+                              qarrays: dict, act_qp: dict,
+                              mode: str = "int8",
+                              parity: dict | None = None) -> None:
+    """Write an int8 model artifact (the deployed-.rknn-blob analogue,
+    reference .MISSING_LARGE_BLOBS:1-8). The container carries the fp
+    variables (golden path), int8 weights, and the activation quant params;
+    `load_engine` + `build_apply_fn` reconstruct the int8 program."""
+    meta = dict(base_meta)
+    meta["quant"] = {
+        "mode": mode,
+        "act_qp": {p: [float(s), int(z)] for p, (s, z) in act_qp.items()},
+    }
+    if parity is not None:
+        meta["quant"]["parity"] = parity
+    save_checkpoint(path, {"fp": fp_variables, "q": qarrays}, meta)
+
+
+def build_apply_fn(module, meta: dict) -> Callable:
+    """apply_fn(variables, x) for a checkpoint, honoring int8 quant metadata.
+
+    fp artifacts:    variables are the plain Flax variables.
+    int8 artifacts:  variables are the {"fp", "q"} bundle; every Conv/Dense
+                     runs as a true int8 MXU op (lanetpu.quant.generic).
+    """
+    if "quant" in meta:
+        from lanetpu.quant.generic import make_quantized_forward
+
+        act_qp = {p: (float(s), int(z))
+                  for p, (s, z) in meta["quant"]["act_qp"].items()}
+        base = lambda v, x: module.apply(v, x, train=False)  # noqa: E731
+        return make_quantized_forward(base, act_qp,
+                                      mode=meta["quant"].get("mode", "int8"))
+    return lambda v, x: module.apply(v, x, train=False)
 
 
 class Stopwatch:

@@ -29,7 +29,7 @@ class LanePointsRegressor:
     def __init__(self, mode: str = "xcoords", module: ResNetRegressor | None = None,
                  variables: dict | None = None, input_size=(224, 224),
                  bgr_input: bool = False, compute_dtype="bfloat16",
-                 rng_seed: int = 0):
+                 rng_seed: int = 0, apply_fn=None):
         assert mode in ("xcoords", "centerline")
         self.mode = mode
         self.num_points = 4 if mode == "xcoords" else 6
@@ -39,12 +39,27 @@ class LanePointsRegressor:
         self.input_size = input_size
         self.bgr_input = bgr_input
         self.compute_dtype = jnp.dtype(compute_dtype)
+        # apply_fn(variables, x) overrides module.apply — the hook that runs
+        # int8 artifacts (runtime.engine.build_apply_fn) through the same
+        # pipeline.
+        self._apply = apply_fn or (
+            lambda v, x: self.module.apply(v, x, train=False))
         if variables is None:
             h, w = input_size
             variables = self.module.init(
                 jax.random.PRNGKey(rng_seed), jnp.zeros((1, h, w, 3), jnp.float32))
         self.variables = variables
         self._jitted = jax.jit(self._forward)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kwargs):
+        """Build from a .ltpu artifact (fp32 or int8-quantized)."""
+        from lanetpu.runtime.engine import build_apply_fn, load_engine
+
+        module, variables, meta = load_engine(path)
+        mode = meta.get("mode", "xcoords")
+        return cls(mode=mode, module=module, variables=variables,
+                   apply_fn=build_apply_fn(module, meta), **kwargs)
 
     def _forward(self, variables, frames: jnp.ndarray) -> jnp.ndarray:
         # variables as a jit ARG (closed-over device arrays get fetched to
@@ -53,7 +68,7 @@ class LanePointsRegressor:
         if self.bgr_input:
             x = x[..., ::-1]
         x = normalize_image(x, dtype=self.compute_dtype)
-        out = self.module.apply(variables, x, train=False)
+        out = self._apply(variables, x)
         return out.astype(jnp.float32)
 
     def inference_batch(self, frames: np.ndarray):

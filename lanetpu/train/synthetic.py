@@ -114,6 +114,32 @@ def generate_batch(indices, seed: int = 42, image_size=(224, 224)):
     return np.stack(imgs), np.stack(masks)
 
 
+def calibration_indices(num: int, seed: int = 42, image_size=(224, 224),
+                        offset: int = 0, pool_factor: int = 4) -> list:
+    """Scene-stratified calibration sample selection.
+
+    The reference's RKNN calibration set is quota-balanced across scene
+    conditions rather than taken sequentially (reference
+    README.md:3313-3336); this renders a pool of `num * pool_factor`
+    candidates, buckets them by scene tag, and picks round-robin across
+    buckets so every condition (normal / low_light / bright / blur /
+    shadow / rain / curve...) is represented.
+    """
+    buckets: dict[str, list] = {}
+    for i in range(offset, offset + num * pool_factor):
+        _, _, meta = generate_sample(i, seed, image_size, return_meta=True)
+        buckets.setdefault(meta["scene"], []).append(i)
+    order = sorted(buckets)  # deterministic bucket rotation
+    picked: list[int] = []
+    k = 0
+    while len(picked) < num and any(buckets.values()):
+        scene = order[k % len(order)]
+        if buckets[scene]:
+            picked.append(buckets[scene].pop(0))
+        k += 1
+    return picked
+
+
 class SyntheticLaneDataset:
     """Map-style dataset: len() + [index] -> (uint8 image, float mask).
 

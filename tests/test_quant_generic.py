@@ -1,0 +1,202 @@
+"""Generic (model-agnostic) int8 quantization: the interception substrate.
+
+Covers VERDICT round-1 item #1: quantization beyond the U-Net — every model
+family (U-Net / ResNet regressor / YOLO) runs through the same
+calibrate->quantize->int8-forward path, artifacts round-trip through the
+.ltpu container, and the runtime pipelines execute them.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lanetpu.core.config import ResNetConfig, UNetConfig, YoloConfig
+from lanetpu.models.resnet import ResNetRegressor
+from lanetpu.models.unet import UNet
+from lanetpu.models.yolo import YoloDetector
+from lanetpu.quant.generic import (
+    collect_ranges,
+    make_quantized_forward,
+    quantize_forward,
+    quantize_variables,
+)
+from lanetpu.runtime.engine import (
+    build_apply_fn,
+    load_engine,
+    save_checkpoint,
+    save_quantized_checkpoint,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def _unet():
+    m = UNet(config=UNetConfig(features=(4, 8)))
+    v = m.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+    return m, v
+
+
+def test_collect_ranges_covers_every_conv_and_dense():
+    m = ResNetRegressor(config=ResNetConfig(depth=18, num_outputs=4))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    fwd = lambda vv, x: m.apply(vv, x, train=False)  # noqa: E731
+    batches = [RNG.normal(0, 1, (2, 32, 32, 3)).astype(np.float32)]
+    ranges = collect_ranges(fwd, v, batches)
+    # resnet18: stem + 8 blocks x 2 convs + 2 proj convs + 2 proj? + head
+    paths = set(ranges)
+    assert any(p.endswith("stem") for p in paths)
+    assert any(p == "head" for p in paths)
+    n_kernels = sum(1 for p in jax.tree_util.tree_leaves_with_path(v["params"])
+                    if p[0][-1].key == "kernel")
+    assert len(paths) == n_kernels  # every conv/dense got a range
+    for lo, hi in ranges.values():
+        assert lo <= hi
+
+
+def test_unet_int8_parity_through_generic_path():
+    m, v = _unet()
+    fwd = lambda vv, x: m.apply(vv, x, train=False)  # noqa: E731
+    batches = [RNG.normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+               for _ in range(2)]
+    qf, bundle, act_qp = quantize_forward(fwd, v, batches, mode="int8")
+    x = jnp.asarray(batches[0])
+    prob_fp = np.asarray(jax.nn.sigmoid(jax.jit(fwd)(v, x)))
+    prob_i8 = np.asarray(jax.nn.sigmoid(jax.jit(qf)(bundle, x)))
+    assert np.abs(prob_fp - prob_i8).mean() < 0.05  # reference MAE gate
+    # transpose convs stay fp: only plain convs are quantized
+    assert not any(p.startswith("up") for p in act_qp)
+
+
+def test_fakequant_matches_int8_semantics():
+    m, v = _unet()
+    fwd = lambda vv, x: m.apply(vv, x, train=False)  # noqa: E731
+    batches = [RNG.normal(0, 1, (2, 32, 32, 3)).astype(np.float32)]
+    ranges = collect_ranges(fwd, v, batches)
+    qarrays, act_qp = quantize_variables(v, ranges)
+    bundle = {"fp": v, "q": qarrays}
+    x = jnp.asarray(batches[0])
+    out_i8 = np.asarray(jax.jit(
+        make_quantized_forward(fwd, act_qp, "int8"))(bundle, x))
+    out_fq = np.asarray(jax.jit(
+        make_quantized_forward(fwd, act_qp, "fakequant"))(bundle, x))
+    # same rounding decisions, fp-vs-int accumulation order differs
+    assert np.abs(out_i8 - out_fq).max() < 1e-2
+
+
+def test_strided_padded_conv_int8_matches_reference_math():
+    """7x7 stride-2 SAME conv on odd spatial dims (the ResNet stem
+    geometry): shapes and border handling must match the fp conv."""
+    import flax.linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(8, (7, 7), (2, 2), padding="SAME", use_bias=True,
+                           name="c")(x)
+
+    m = M()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 13, 17, 3)))
+    fwd = lambda vv, x: m.apply(vv, x)  # noqa: E731
+    batches = [RNG.normal(0, 2, (2, 13, 17, 3)).astype(np.float32)]
+    qf, bundle, act_qp = quantize_forward(fwd, v, batches, mode="int8")
+    out_i8 = np.asarray(jax.jit(qf)(bundle, jnp.asarray(batches[0])))
+    out_fp = np.asarray(jax.jit(fwd)(v, jnp.asarray(batches[0])))
+    assert out_i8.shape == out_fp.shape
+    # zero-point padding: border columns must not be systematically biased
+    err = np.abs(out_i8 - out_fp)
+    assert err.mean() < 0.1
+    assert err[:, 0, :, :].mean() < 5 * max(err.mean(), 1e-3)
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    m, v = _unet()
+    fwd = lambda vv, x: m.apply(vv, x, train=False)  # noqa: E731
+    batches = [RNG.normal(0, 1, (2, 32, 32, 3)).astype(np.float32)]
+    ranges = collect_ranges(fwd, v, batches)
+    qarrays, act_qp = quantize_variables(v, ranges)
+    path = os.path.join(tmp_path, "m_int8.ltpu")
+    save_quantized_checkpoint(path, {"arch": "unet", "features": [4, 8]},
+                              v, qarrays, act_qp,
+                              parity={"mae": 0.001})
+    module, variables, meta = load_engine(path, backend="cpu")
+    assert meta["quant"]["mode"] == "int8"
+    assert meta["quant"]["parity"]["mae"] == 0.001
+    apply_fn = build_apply_fn(module, meta)
+    x = jnp.asarray(batches[0])
+    out_loaded = np.asarray(jax.jit(apply_fn)(variables, x))
+    out_orig = np.asarray(jax.jit(
+        make_quantized_forward(fwd, act_qp, "int8"))(
+            {"fp": v, "q": qarrays}, x))
+    np.testing.assert_allclose(out_loaded, out_orig, atol=1e-5)
+
+
+def test_fp_checkpoint_build_apply_fn_passthrough(tmp_path):
+    m, v = _unet()
+    path = os.path.join(tmp_path, "m.ltpu")
+    save_checkpoint(path, v, {"arch": "unet", "features": [4, 8]})
+    module, variables, meta = load_engine(path, backend="cpu")
+    apply_fn = build_apply_fn(module, meta)
+    x = jnp.asarray(RNG.normal(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(apply_fn(variables, x)),
+                               np.asarray(m.apply(v, x, train=False)),
+                               atol=1e-6)
+
+
+def test_yolo_engine_runs_quantized_artifact(tmp_path):
+    from lanetpu.quant.pipeline import quantize_checkpoint
+    from lanetpu.runtime.detector import YoloEngine
+
+    cfg = YoloConfig(num_classes=3, img_size=(64, 64))
+    m = YoloDetector(config=cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    fp_path = os.path.join(tmp_path, "y.ltpu")
+    save_checkpoint(fp_path, v, {"arch": "yolo", "num_classes": 3,
+                                 "img_size": [64, 64]})
+    q_path = os.path.join(tmp_path, "y_int8.ltpu")
+    rep = quantize_checkpoint(fp_path, q_path, calib_images=4, val_images=2)
+    assert rep["mae_verdict"] in ("good", "acceptable")
+    assert rep["num_quantized_layers"] > 30
+
+    eng = YoloEngine.from_checkpoint(q_path, compute_dtype="float32")
+    frames = RNG.integers(0, 256, (1, 48, 64, 3), dtype=np.uint8)
+    results = eng.detect_batch(frames)
+    assert len(results) == 1  # runs end-to-end (random init: any output ok)
+
+
+def test_points_pipeline_runs_quantized_artifact(tmp_path):
+    from lanetpu.quant.generic import quantize_forward
+    from lanetpu.runtime.points import LanePointsRegressor
+
+    m = ResNetRegressor(config=ResNetConfig(depth=18, num_outputs=4))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    fwd = lambda vv, x: m.apply(vv, x, train=False)  # noqa: E731
+    batches = [RNG.normal(0, 1, (1, 224, 224, 3)).astype(np.float32)]
+    ranges = collect_ranges(fwd, v, batches)
+    qarrays, act_qp = quantize_variables(v, ranges)
+    path = os.path.join(tmp_path, "p_int8.ltpu")
+    save_quantized_checkpoint(
+        path, {"arch": "resnet_regressor", "depth": 18, "num_outputs": 4,
+               "mode": "xcoords"}, v, qarrays, act_qp)
+
+    reg = LanePointsRegressor.from_checkpoint(path, compute_dtype="float32")
+    frame = RNG.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+    pts, _ = reg.inference(frame)
+    assert pts.shape == (4, 2)
+    assert np.all(pts[:, 0] >= 0) and np.all(pts[:, 0] <= 160)
+
+
+def test_calibration_indices_scene_quota():
+    from lanetpu.train.synthetic import calibration_indices, generate_sample
+
+    idx = calibration_indices(16, seed=7, image_size=(64, 64))
+    assert len(idx) == 16
+    assert len(set(idx)) == 16
+    scenes = [generate_sample(i, 7, (64, 64), return_meta=True)[2]["scene"]
+              for i in idx]
+    counts = {s: scenes.count(s) for s in set(scenes)}
+    # quota: multiple scene conditions represented, none starved
+    assert len(counts) >= 3
+    assert min(counts.values()) >= 1
