@@ -18,11 +18,18 @@ from lanetpu.train.synthetic import generate_sample
 
 def evaluate_by_scene(predict_batch, num_samples: int = 64, seed: int = 43,
                       image_size=(224, 224), offset: int = 0,
-                      batch_size: int = 16, threshold: int = 127) -> dict:
+                      batch_size: int = 16, threshold: int = 127,
+                      balanced: bool = True) -> dict:
     """predict_batch: fn([N, H, W, 3] uint8 RGB) -> [N, H, W] uint8 masks.
 
+    With balanced=True (default) the scene conditions are cycled so every
+    bucket — normal / low_light / bright / blur / shadow / rain / curve —
+    receives num_samples // len(SCENES) samples, guaranteeing the full
+    reference-style table (README.md:4189-4206) regardless of sample count.
     Returns {scene: {iou, dice, count}, "overall": {...}}.
     """
+    from lanetpu.train.synthetic import SCENES
+
     per_scene = defaultdict(lambda: {"tp": 0.0, "fp": 0.0, "fn": 0.0,
                                      "count": 0})
     overall = {"tp": 0.0, "fp": 0.0, "fn": 0.0, "count": 0}
@@ -31,8 +38,10 @@ def evaluate_by_scene(predict_batch, num_samples: int = 64, seed: int = 43,
     while idx < num_samples:
         batch_idx = range(offset + idx, offset + min(idx + batch_size,
                                                      num_samples))
-        samples = [generate_sample(i, seed, image_size, return_meta=True)
-                   for i in batch_idx]
+        samples = [generate_sample(
+            i, seed, image_size, return_meta=True,
+            scene=SCENES[(i - offset) % len(SCENES)] if balanced else None)
+            for i in batch_idx]
         imgs = np.stack([s[0] for s in samples])
         masks = np.stack([s[1] for s in samples])
         preds = np.asarray(predict_batch(imgs))

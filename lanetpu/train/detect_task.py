@@ -13,9 +13,16 @@ artifacts from scratch therefore needs a trainer. This module provides:
     on the two adjacent distance bins + L1 on the decoded distances;
   * a compact training loop producing a `.ltpu` detector artifact.
 
-The assignment is simplified relative to ultralytics' task-aligned assigner
-(center-inside-box with smallest-area tie-break), which converges fine on
-the synthetic task and keeps the code audit-able.
+Two assigners are provided:
+  * "center" — static center-sampling with smallest-area tie-break
+    (host numpy, prediction-independent); simple and audit-able;
+  * "tal" (default) — task-aligned assignment (TOOD/YOLOv8 style): the
+    alignment metric t = score^alpha * IoU^beta over center-inside-box
+    candidates, top-k per gt, conflict resolution by max alignment, soft
+    classification targets normalized per gt, plus CIoU box loss. TAL is
+    prediction-dependent, so it runs INSIDE the jitted train step as pure
+    jnp — no host round trip per step (TPU-first; the data loader only
+    ships padded gt arrays).
 """
 
 from __future__ import annotations
@@ -147,8 +154,187 @@ def make_batch(indices, seed, img_size, num_classes, strides=(8, 16, 32),
             np.stack(poss).astype(np.float32), metas)
 
 
+def make_gt_batch(indices, seed, img_size, num_classes, max_objects: int = 8):
+    """Padded ground-truth arrays for the in-step (TAL) assigner.
+
+    -> (imgs [N,H,W,3] u8, gt_boxes [N,M,4] xyxy f32, gt_classes [N,M] i32,
+        gt_valid [N,M] f32). Padding slots carry zeros + valid=0.
+    """
+    imgs, bs, cs, vs = [], [], [], []
+    for i in indices:
+        img, boxes, classes = render_detection_sample(
+            i, seed, img_size, num_classes)
+        m = len(boxes)
+        gb = np.zeros((max_objects, 4), np.float32)
+        gc = np.zeros(max_objects, np.int32)
+        gv = np.zeros(max_objects, np.float32)
+        gb[:m] = boxes[:max_objects]
+        gc[:m] = classes[:max_objects]
+        gv[:m] = 1.0
+        imgs.append(img)
+        bs.append(gb)
+        cs.append(gc)
+        vs.append(gv)
+    return np.stack(imgs), np.stack(bs), np.stack(cs), np.stack(vs)
+
+
 # ---------------------------------------------------------------------------
-# Loss
+# Task-aligned assignment (jnp, runs inside the jitted step)
+# ---------------------------------------------------------------------------
+
+
+def pairwise_iou(boxes1, boxes2, eps: float = 1e-7):
+    """xyxy [A, 4] x [M, 4] -> IoU [A, M]."""
+    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    a1 = ((boxes1[:, 2] - boxes1[:, 0])
+          * (boxes1[:, 3] - boxes1[:, 1]))[:, None]
+    a2 = ((boxes2[:, 2] - boxes2[:, 0])
+          * (boxes2[:, 3] - boxes2[:, 1]))[None, :]
+    return inter / (a1 + a2 - inter + eps)
+
+
+def ciou(b1, b2, eps: float = 1e-7):
+    """Complete IoU between aligned xyxy boxes [..., 4] -> [...]."""
+    lt = jnp.maximum(b1[..., :2], b2[..., :2])
+    rb = jnp.minimum(b1[..., 2:], b2[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    w1, h1 = b1[..., 2] - b1[..., 0], b1[..., 3] - b1[..., 1]
+    w2, h2 = b2[..., 2] - b2[..., 0], b2[..., 3] - b2[..., 1]
+    union = w1 * h1 + w2 * h2 - inter
+    iou = inter / (union + eps)
+    # enclosing box diagonal
+    elt = jnp.minimum(b1[..., :2], b2[..., :2])
+    erb = jnp.maximum(b1[..., 2:], b2[..., 2:])
+    c2 = jnp.sum((erb - elt) ** 2, axis=-1) + eps
+    # center distance
+    rho2 = (jnp.sum(((b1[..., :2] + b1[..., 2:])
+                     - (b2[..., :2] + b2[..., 2:])) ** 2, axis=-1)) / 4.0
+    # aspect-ratio consistency
+    v = (4.0 / np.pi**2) * (jnp.arctan(w2 / (h2 + eps))
+                            - jnp.arctan(w1 / (h1 + eps))) ** 2
+    alpha = v / (v - iou + (1.0 + eps))
+    return iou - rho2 / c2 - jax.lax.stop_gradient(alpha) * v
+
+
+def tal_assign(pred_boxes, pred_probs, gt_boxes, gt_cls, gt_valid, centers,
+               topk: int = 10, alpha: float = 0.5, beta: float = 6.0):
+    """Task-aligned assignment for ONE image.
+
+    pred_boxes [A, 4] xyxy px, pred_probs [A, C] sigmoid scores,
+    gt_boxes [M, 4], gt_cls [M] i32, gt_valid [M], centers [A, 2].
+    Returns (pos [A] bool, t_hat [A] soft target weight,
+             tgt_boxes [A, 4], tgt_cls [A] i32).
+    """
+    a = pred_boxes.shape[0]
+    iou = pairwise_iou(pred_boxes, gt_boxes)                      # [A, M]
+    s = jnp.clip(pred_probs[:, gt_cls], 1e-9, 1.0)                # [A, M]
+    align = (s ** alpha) * (jnp.clip(iou, 0.0) ** beta)
+    inside = ((centers[:, None, 0] > gt_boxes[None, :, 0])
+              & (centers[:, None, 0] < gt_boxes[None, :, 2])
+              & (centers[:, None, 1] > gt_boxes[None, :, 1])
+              & (centers[:, None, 1] < gt_boxes[None, :, 3]))
+    align = align * inside * gt_valid[None, :]
+    # top-k candidate anchors per gt (kth value as threshold handles ties)
+    topv, _ = jax.lax.top_k(align.T, min(topk, a))                # [M, k]
+    thr = jnp.maximum(topv[:, -1:], 1e-9)                         # [M, 1]
+    cand = (align.T >= thr).T & (align > 0)                       # [A, M]
+    # conflict resolution: an anchor claimed by several gts keeps the
+    # highest-alignment one
+    best_gt = jnp.argmax(jnp.where(cand, align, -1.0), axis=1)    # [A]
+    pos = cand.any(axis=1)
+    rows = jnp.arange(a)
+    a_align = align[rows, best_gt]
+    a_iou = iou[rows, best_gt]
+    # per-gt normalization: t_hat = align / max_align_gt * max_iou_gt
+    pos_align = jnp.where(cand, align, 0.0)
+    max_align = pos_align.max(axis=0)                             # [M]
+    max_iou = jnp.where(cand, iou, 0.0).max(axis=0)               # [M]
+    t_hat = a_align * max_iou[best_gt] / (max_align[best_gt] + 1e-9)
+    t_hat = jnp.where(pos, t_hat, 0.0)
+    del a_iou
+    return pos, t_hat, gt_boxes[best_gt], gt_cls[best_gt]
+
+
+def _flatten_levels(outputs, bins: int):
+    box_list, cls_list = [], []
+    for box_dfl, cls_log in outputs:
+        n, h, w, _ = box_dfl.shape
+        box_list.append(box_dfl.reshape(n, h * w, 4, bins))
+        cls_list.append(cls_log.reshape(n, h * w, -1))
+    return (jnp.concatenate(box_list, axis=1).astype(jnp.float32),
+            jnp.concatenate(cls_list, axis=1).astype(jnp.float32))
+
+
+def yolo_loss_tal(outputs, gt_boxes, gt_classes, gt_valid, img_size,
+                  strides=(8, 16, 32), bins: int = 16,
+                  cls_weight: float = 0.5, box_weight: float = 7.5,
+                  dfl_weight: float = 1.5, topk: int = 10):
+    """Task-aligned YOLOv8-style loss: soft BCE + CIoU + DFL.
+
+    outputs: model branch list [(box_dfl [N,h,w,4*bins], cls [N,h,w,C])],
+    gt_*: padded arrays from make_gt_batch. Everything is jnp — the
+    assignment runs on device inside the caller's jit.
+    """
+    from lanetpu.ops.dfl import dfl_expectation
+
+    box_dfl, cls_log = _flatten_levels(outputs, bins)   # [N,A,4,bins] [N,A,C]
+    n, a, c = cls_log.shape
+    centers_np, stride_np = _anchor_centers(img_size, strides)
+    centers = jnp.asarray(centers_np)                   # [A, 2]
+    stride_v = jnp.asarray(stride_np)[None, :, None]    # [1, A, 1]
+
+    dist = dfl_expectation(box_dfl.reshape(n, a, 4 * bins), bins)  # [N,A,4]
+    pd = dist * stride_v
+    pred_boxes = jnp.stack([
+        centers[None, :, 0] - pd[..., 0], centers[None, :, 1] - pd[..., 1],
+        centers[None, :, 0] + pd[..., 2], centers[None, :, 1] + pd[..., 3],
+    ], axis=-1)                                         # [N, A, 4] px
+    probs = jax.nn.sigmoid(cls_log)
+
+    pos, t_hat, tgt_boxes, tgt_cls = jax.vmap(
+        tal_assign, in_axes=(0, 0, 0, 0, 0, None, None))(
+        jax.lax.stop_gradient(pred_boxes), jax.lax.stop_gradient(probs),
+        gt_boxes, gt_classes, gt_valid, centers, topk)
+
+    denom = jnp.maximum(t_hat.sum(), 1.0)
+
+    # classification: BCE against soft one-hot * t_hat over ALL anchors
+    cls_target = jax.nn.one_hot(tgt_cls, c) * t_hat[..., None]
+    cls_loss = optax.sigmoid_binary_cross_entropy(
+        cls_log, cls_target).sum() / denom
+
+    # box: CIoU on positives, alignment-weighted
+    ciou_v = ciou(pred_boxes, tgt_boxes)
+    box_loss = ((1.0 - ciou_v) * t_hat).sum() / denom
+
+    # DFL: two-adjacent-bin cross-entropy on ltrb targets in stride units
+    tl = jnp.stack([
+        centers[None, :, 0] - tgt_boxes[..., 0],
+        centers[None, :, 1] - tgt_boxes[..., 1],
+        tgt_boxes[..., 2] - centers[None, :, 0],
+        tgt_boxes[..., 3] - centers[None, :, 1],
+    ], axis=-1) / stride_v
+    tgt = jnp.clip(tl, 0.0, bins - 1 - 1e-3)
+    lo = jnp.floor(tgt)
+    w_hi = tgt - lo
+    logp = jax.nn.log_softmax(box_dfl, axis=-1)
+    lo_i = lo.astype(jnp.int32)[..., None]
+    hi_i = jnp.clip(lo + 1, 0, bins - 1).astype(jnp.int32)[..., None]
+    ce = -((1.0 - w_hi) * jnp.take_along_axis(logp, lo_i, axis=-1)[..., 0]
+           + w_hi * jnp.take_along_axis(logp, hi_i, axis=-1)[..., 0])
+    dfl_loss = (ce.mean(-1) * t_hat).sum() / denom
+
+    total = cls_weight * cls_loss + box_weight * box_loss + dfl_weight * dfl_loss
+    return total, {"cls": cls_loss, "box": box_loss, "dfl": dfl_loss,
+                   "num_pos": pos.sum()}
+
+
+# ---------------------------------------------------------------------------
+# Loss (static center-sampling variant)
 # ---------------------------------------------------------------------------
 
 
@@ -205,7 +391,8 @@ def train_yolo(num_classes: int = 11, img_size=(256, 256), epochs: int = 10,
                learning_rate: float = 1e-3, width_mult: float = 0.25,
                depth_mult: float = 0.33, seed: int = 42,
                save_path: str | None = None, compute_dtype=jnp.bfloat16,
-               verbose: bool = True) -> dict:
+               verbose: bool = True, assigner: str = "tal") -> dict:
+    assert assigner in ("tal", "center")
     cfg = YoloConfig(num_classes=num_classes, img_size=tuple(img_size),
                      width_mult=width_mult, depth_mult=depth_mult)
     module = YoloDetector(config=cfg, dtype=compute_dtype)
@@ -213,8 +400,11 @@ def train_yolo(num_classes: int = 11, img_size=(256, 256), epochs: int = 10,
     variables = module.init(jax.random.PRNGKey(seed),
                             jnp.zeros((1, h, w, 3), jnp.float32))
     params, batch_stats = variables["params"], variables["batch_stats"]
+    steps = max(1, num_train // batch_size)
+    sched = optax.cosine_decay_schedule(learning_rate, epochs * steps,
+                                        alpha=0.05)
     tx = optax.chain(optax.clip_by_global_norm(5.0),
-                     optax.adamw(learning_rate, weight_decay=5e-4))
+                     optax.adamw(sched, weight_decay=5e-4))
     opt_state = tx.init(params)
 
     @jax.jit
@@ -234,19 +424,44 @@ def train_yolo(num_classes: int = 11, img_size=(256, 256), epochs: int = 10,
         params = optax.apply_updates(params, updates)
         return params, new_state["batch_stats"], opt_state, loss, aux
 
+    @jax.jit
+    def train_step_tal(params, batch_stats, opt_state, imgs, gb, gc, gv):
+        x = imgs.astype(jnp.float32) / 255.0
+
+        def loss_fn(p):
+            outs, new_state = module.apply(
+                {"params": p, "batch_stats": batch_stats},
+                x.astype(compute_dtype), train=True, mutable=["batch_stats"])
+            loss, aux = yolo_loss_tal(outs, gb, gc, gv, img_size,
+                                      cfg.strides, cfg.dfl_bins)
+            return loss, (aux, new_state)
+
+        (loss, (aux, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state["batch_stats"], opt_state, loss, aux
+
     rng = np.random.default_rng(seed)
     history = []
-    steps = max(1, num_train // batch_size)
     for epoch in range(epochs):
         order = rng.permutation(num_train)
         losses = []
         for s in range(steps):
             idx = order[s * batch_size:(s + 1) * batch_size]
-            imgs, cls_t, ltrb_t, pos, _ = make_batch(
-                idx, seed, img_size, num_classes, cfg.strides, cfg.dfl_bins)
-            params, batch_stats, opt_state, loss, aux = train_step(
-                params, batch_stats, opt_state, jnp.asarray(imgs),
-                jnp.asarray(cls_t), jnp.asarray(ltrb_t), jnp.asarray(pos))
+            if assigner == "tal":
+                imgs, gb, gc, gv = make_gt_batch(idx, seed, img_size,
+                                                 num_classes)
+                params, batch_stats, opt_state, loss, aux = train_step_tal(
+                    params, batch_stats, opt_state, jnp.asarray(imgs),
+                    jnp.asarray(gb), jnp.asarray(gc), jnp.asarray(gv))
+            else:
+                imgs, cls_t, ltrb_t, pos, _ = make_batch(
+                    idx, seed, img_size, num_classes, cfg.strides,
+                    cfg.dfl_bins)
+                params, batch_stats, opt_state, loss, aux = train_step(
+                    params, batch_stats, opt_state, jnp.asarray(imgs),
+                    jnp.asarray(cls_t), jnp.asarray(ltrb_t), jnp.asarray(pos))
             losses.append(float(loss))
         record = {"epoch": epoch, "loss": float(np.mean(losses))}
         history.append(record)

@@ -16,14 +16,65 @@ from __future__ import annotations
 import numpy as np
 
 
-def _quadratic_lane(h: int, w: int, rng: np.random.Generator):
+def _quadratic_lane(h: int, w: int, rng: np.random.Generator,
+                    min_curve: float = 0.0, max_curve: float = 0.4):
     """Sample a quadratic lane centerline x(y) through the image."""
     x0 = rng.uniform(0.2, 0.8) * w
     drift = rng.uniform(-0.3, 0.3) * w
-    curve = rng.uniform(-0.4, 0.4) * w
+    mag = rng.uniform(min_curve, max_curve)
+    curve = mag * w * (1 if rng.random() < 0.5 else -1)
     ys = np.linspace(0.0, 1.0, h)
     xs = x0 + drift * ys + curve * ys**2
     return xs
+
+
+# Primary scene conditions, matching the reference's per-scene quality table
+# (reference README.md:4189-4206: normal / low-light / bright / shadow /
+# rain / curves; "blur" is our extra motion-blur bucket).
+SCENES = ("normal", "low_light", "bright", "blur", "shadow", "rain", "curve")
+_SCENE_PROBS = (0.28, 0.12, 0.12, 0.12, 0.12, 0.12, 0.12)
+
+
+def _cast_shadow(img: np.ndarray, rng: np.random.Generator):
+    """Darken 1-2 soft-edged half-plane bands (cast shadow occlusion)."""
+    h, w = img.shape[:2]
+    yy, xx = np.mgrid[:h, :w].astype(np.float32)
+    for _ in range(rng.integers(1, 3)):
+        theta = rng.uniform(0, 2 * np.pi)
+        nx, ny = np.cos(theta), np.sin(theta)
+        c = rng.uniform(0.25, 0.75) * (nx * w + ny * h)
+        width = rng.uniform(0.15, 0.45) * min(h, w)
+        d = nx * xx + ny * yy - c
+        inside = np.clip(0.5 - d / max(width, 1.0), 0.0, 1.0)  # soft edge
+        factor = rng.uniform(0.35, 0.6)
+        img *= (1.0 - inside * (1.0 - factor))[..., None]
+    return img
+
+
+def _rain_overlay(img: np.ndarray, rng: np.random.Generator):
+    """Specular rain: bright streaks + droplet highlights + wet-sheen noise."""
+    h, w = img.shape[:2]
+    angle = rng.uniform(-0.35, 0.35)  # streaks near-vertical
+    n_streaks = int(rng.integers(20, 60))
+    length = max(3, int(rng.uniform(0.04, 0.10) * h))
+    for _ in range(n_streaks):
+        x0 = rng.integers(0, w)
+        y0 = rng.integers(0, h - length)
+        ys = np.arange(length)
+        xs = np.clip((x0 + angle * ys).astype(int), 0, w - 1)
+        img[y0 + ys, xs] += rng.uniform(25, 70)
+    # droplets: small bright discs (lens/water highlights)
+    yy, xx = np.ogrid[:h, :w]
+    for _ in range(rng.integers(3, 9)):
+        cy, cx = rng.integers(0, h), rng.integers(0, w)
+        r = rng.integers(1, max(2, h // 50) + 1)
+        blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r**2
+        img[blob] += rng.uniform(30, 80)
+    # wet sheen: raise noise floor + mild desaturation toward gray
+    gray = img.mean(-1, keepdims=True)
+    img += (gray - img) * rng.uniform(0.1, 0.3)
+    img += rng.normal(0, rng.uniform(4, 9), size=img.shape)
+    return img
 
 
 def _draw_line(mask: np.ndarray, xs: np.ndarray, width: float):
@@ -35,16 +86,20 @@ def _draw_line(mask: np.ndarray, xs: np.ndarray, width: float):
 
 
 def generate_sample(index: int, seed: int = 42, image_size=(224, 224),
-                    return_meta: bool = False):
+                    return_meta: bool = False, scene: str | None = None):
     """Render one (image uint8 RGB [H,W,3], mask float32 [H,W,1]) pair.
 
-    With return_meta=True also returns {'gain', 'wb', 'blurred', 'scene'} —
-    the scene tag buckets lighting/blur conditions so quality can be
-    reported per scene like the reference's table (README.md:4189-4206:
-    normal / low-light / bright / blur...).
+    Each sample draws ONE primary scene condition (or takes `scene`):
+    normal / low_light / bright / blur / shadow / rain / curve — the same
+    six-plus-one bucket structure the reference reports quality for
+    (README.md:4189-4206). With return_meta=True also returns
+    {'gain', 'wb', 'blurred', 'scene'}.
     """
     h, w = image_size
     rng = np.random.default_rng(np.random.SeedSequence([seed, index]))
+    if scene is None:
+        scene = str(rng.choice(SCENES, p=_SCENE_PROBS))
+    assert scene in SCENES, f"unknown scene {scene!r}"
 
     # Track background: dark blue-ish cloth with noise
     base = np.array([
@@ -53,11 +108,14 @@ def generate_sample(index: int, seed: int = 42, image_size=(224, 224),
     img = np.ones((h, w, 3), np.float32) * base
     img += rng.normal(0, rng.uniform(2, 8), size=(h, w, 3))
 
-    # Lane lines: 1-3 bright lines with varying width and brightness
+    # Lane lines: 1-3 bright lines with varying width and brightness.
+    # "curve" scenes force strong quadratic curvature; others stay gentler
+    # so the bucket is a distinct condition, not a relabeling.
+    min_c, max_c = (0.25, 0.5) if scene == "curve" else (0.0, 0.2)
     mask = np.zeros((h, w), bool)
     n_lines = rng.integers(1, 4)
     for _ in range(n_lines):
-        xs = _quadratic_lane(h, w, rng)
+        xs = _quadratic_lane(h, w, rng, min_c, max_c)
         width = rng.uniform(0.02, 0.06) * w
         line = np.zeros((h, w), bool)
         _draw_line(line, xs, width)
@@ -75,34 +133,37 @@ def generate_sample(index: int, seed: int = 42, image_size=(224, 224),
         blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r**2
         img[blob & ~mask] = rng.uniform(140, 200)
 
+    # Scene-specific occlusion/weather (mask is unchanged: lanes under
+    # shadow or rain remain ground truth, like the reference's real scenes)
+    if scene == "shadow":
+        img = _cast_shadow(img, rng)
+    elif scene == "rain":
+        img = _rain_overlay(img, rng)
+
     # Global lighting / white balance shifts (the augmentation the reference
     # trains for; README.md:2042-2043)
-    gain = rng.uniform(0.6, 1.4)
+    if scene == "low_light":
+        gain = rng.uniform(0.55, 0.8)
+    elif scene == "bright":
+        gain = rng.uniform(1.25, 1.5)
+    else:
+        gain = rng.uniform(0.9, 1.15)
     wb = rng.uniform(0.85, 1.15, size=3)
     img = img * gain * wb
 
-    # Mild blur via separable box filter
-    blurred = rng.random() < 0.4
+    # Box blur: always for the "blur" bucket, occasionally elsewhere (mild)
+    blurred = scene == "blur" or rng.random() < 0.15
     if blurred:
-        k = int(rng.integers(1, 3))
-        if k > 0:
-            kernel = np.ones(2 * k + 1) / (2 * k + 1)
-            img = np.apply_along_axis(
-                lambda m: np.convolve(m, kernel, mode="same"), 0, img)
-            img = np.apply_along_axis(
-                lambda m: np.convolve(m, kernel, mode="same"), 1, img)
+        k = int(rng.integers(2, 4)) if scene == "blur" else 1
+        kernel = np.ones(2 * k + 1) / (2 * k + 1)
+        img = np.apply_along_axis(
+            lambda m: np.convolve(m, kernel, mode="same"), 0, img)
+        img = np.apply_along_axis(
+            lambda m: np.convolve(m, kernel, mode="same"), 1, img)
 
     img = np.clip(img, 0, 255).astype(np.uint8)
     mask = mask.astype(np.float32)[..., None]
     if return_meta:
-        if gain < 0.85:
-            scene = "low_light"
-        elif gain > 1.2:
-            scene = "bright"
-        elif blurred:
-            scene = "blur"
-        else:
-            scene = "normal"
         meta = {"gain": float(gain), "wb": wb.tolist(), "blurred": blurred,
                 "scene": scene}
         return img, mask, meta

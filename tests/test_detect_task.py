@@ -110,3 +110,123 @@ def test_train_yolo_smoke(tmp_path):
     assert losses[-1] < losses[0]
     module, variables, meta = load_engine(path)
     assert meta["arch"] == "yolo" and meta["num_classes"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Task-aligned assignment (TAL) + CIoU
+# ---------------------------------------------------------------------------
+
+
+def test_ciou_properties():
+    import jax.numpy as jnp
+
+    from lanetpu.train.detect_task import ciou
+
+    a = jnp.asarray([[10.0, 10.0, 50.0, 50.0]])
+    assert float(ciou(a, a)[0]) == pytest.approx(1.0, abs=1e-5)
+    far = jnp.asarray([[200.0, 200.0, 240.0, 240.0]])
+    assert float(ciou(a, far)[0]) < 0.0  # disjoint: penalty terms dominate
+    near = jnp.asarray([[12.0, 12.0, 52.0, 52.0]])
+    assert float(ciou(a, far)[0]) < float(ciou(a, near)[0]) < 1.0
+
+
+def test_tal_assigns_best_aligned_anchor():
+    import jax.numpy as jnp
+
+    from lanetpu.train.detect_task import tal_assign
+
+    centers, strides = _anchor_centers((64, 64), (8, 16, 32))
+    a = len(centers)
+    gt = jnp.asarray([[16.0, 16.0, 48.0, 48.0]])
+    gt_cls = jnp.asarray([1], jnp.int32)
+    gt_valid = jnp.asarray([1.0])
+    # perfect box prediction at every anchor; class score peaks at one
+    # in-box anchor -> that anchor must get the highest soft target
+    pred_boxes = jnp.broadcast_to(gt[0], (a, 4))
+    probs = np.full((a, 3), 0.05, np.float32)
+    inside = [i for i, (cx, cy) in enumerate(centers)
+              if 16 < cx < 48 and 16 < cy < 48]
+    star = inside[len(inside) // 2]
+    probs[star, 1] = 0.95
+    pos, t_hat, tgt_boxes, tgt_cls = tal_assign(
+        pred_boxes, jnp.asarray(probs), gt, gt_cls, gt_valid,
+        jnp.asarray(centers))
+    pos, t_hat = np.asarray(pos), np.asarray(t_hat)
+    assert pos[star]
+    assert t_hat.argmax() == star
+    assert not pos[[i for i in range(a) if i not in inside]].any()
+    np.testing.assert_allclose(np.asarray(tgt_boxes)[star], np.asarray(gt[0]))
+    assert int(np.asarray(tgt_cls)[star]) == 1
+
+
+def test_tal_assign_empty_gt():
+    import jax.numpy as jnp
+
+    from lanetpu.train.detect_task import tal_assign
+
+    centers, _ = _anchor_centers((64, 64), (8, 16, 32))
+    a = len(centers)
+    pos, t_hat, _, _ = tal_assign(
+        jnp.zeros((a, 4)), jnp.full((a, 3), 0.5),
+        jnp.zeros((2, 4)), jnp.zeros(2, jnp.int32), jnp.zeros(2),
+        jnp.asarray(centers))
+    assert not np.asarray(pos).any()
+    assert float(np.asarray(t_hat).sum()) == 0.0
+
+
+def test_tal_loss_prefers_accurate_predictions():
+    import jax.numpy as jnp
+
+    from lanetpu.train.detect_task import make_gt_batch, yolo_loss_tal
+
+    imgs, gb, gc, gv = make_gt_batch([0, 1], 42, (64, 64), 3)
+    bins, c = 16, 3
+    sizes = [(8, 8), (4, 4), (2, 2)]
+    a = sum(h * w for h, w in sizes)
+    centers, strides = _anchor_centers((64, 64), (8, 16, 32))
+
+    def pack(cls_vals, dfl_vals):
+        outs, off = [], 0
+        for (h, w) in sizes:
+            n = h * w
+            outs.append((jnp.asarray(
+                dfl_vals[:, off:off + n].reshape(2, h, w, 4 * bins)),
+                jnp.asarray(cls_vals[:, off:off + n].reshape(2, h, w, -1))))
+            off += n
+        return outs
+
+    rng_ = np.random.default_rng(0)
+    rand = (rng_.standard_normal((2, a, c)).astype(np.float32),
+            rng_.standard_normal((2, a, 4 * bins)).astype(np.float32))
+    loss_rand, _ = yolo_loss_tal(pack(*rand), jnp.asarray(gb),
+                                 jnp.asarray(gc), jnp.asarray(gv), (64, 64))
+
+    # oracle logits: DFL peaked at the true ltrb bins, cls +8 at the true
+    # class for in-box anchors
+    cls_good = np.full((2, a, c), -8.0, np.float32)
+    dfl_good = np.zeros((2, a, 4, bins), np.float32)
+    for b_ in range(2):
+        for m in range(gb.shape[1]):
+            if gv[b_, m] == 0:
+                continue
+            x1, y1, x2, y2 = gb[b_, m]
+            for i, ((cx, cy), s) in enumerate(zip(centers, strides)):
+                if x1 < cx < x2 and y1 < cy < y2:
+                    cls_good[b_, i, int(gc[b_, m])] = 8.0
+                    lt = np.clip(np.array([cx - x1, cy - y1, x2 - cx,
+                                           y2 - cy]) / s, 0, bins - 1 - 1e-3)
+                    for k in range(4):
+                        dfl_good[b_, i, k, int(round(lt[k]))] = 14.0
+    loss_good, aux = yolo_loss_tal(
+        pack(cls_good, dfl_good.reshape(2, a, -1)), jnp.asarray(gb),
+        jnp.asarray(gc), jnp.asarray(gv), (64, 64))
+    assert float(aux["num_pos"]) > 0
+    assert float(loss_good) < float(loss_rand) * 0.5
+
+
+def test_train_yolo_tal_smoke(tmp_path):
+    result = train_yolo(num_classes=3, img_size=(64, 64), epochs=3,
+                        num_train=16, batch_size=4, compute_dtype=np.float32,
+                        verbose=False, assigner="tal")
+    losses = [h["loss"] for h in result["history"]]
+    assert losses[-1] < losses[0]
