@@ -210,7 +210,8 @@ def cmd_detect(args):
     from lanetpu.runtime.detector import YoloEngine
     from lanetpu.runtime.lane import _imread_rgb
 
-    engine = YoloEngine()
+    engine = (YoloEngine.from_checkpoint(args.model)
+              if getattr(args, "model", None) else YoloEngine())
     results = []
     for path in args.images:
         frame_bgr = _imread_rgb(path)[..., ::-1]

@@ -36,7 +36,8 @@ class MultiFrameDetectService:
                  frames_to_capture: int = FRAMES_TO_CAPTURE,
                  frame_interval_s: float = 0.1,
                  confidence_threshold: float = CONFIDENCE_THRESHOLD,
-                 exclude: tuple = ("Traffic_light_no", "traffic_light_no")):
+                 exclude: tuple = ("Traffic_light_no", "traffic_light_no"),
+                 stale_retry_s: float = 0.2):
         self.engine = engine
         self.bus = bus or Bus()
         self.image_ch = self.bus.channel(image_topic, queue_size=1)
@@ -44,6 +45,23 @@ class MultiFrameDetectService:
         self.frame_interval_s = frame_interval_s
         self.confidence_threshold = confidence_threshold
         self.exclude = set(exclude)
+        self.stale_retry_s = stale_retry_s
+
+    def _fresh_or_duplicate(self, last_seq: int):
+        """Wait up to stale_retry_s for a frame newer than last_seq; then
+        accept the duplicate. The reference sleeps 100 ms and takes whatever
+        the callback cached — duplicates included (src/yolo_detector.py:
+        263-272); we match that guarantee (exactly frames_to_capture frames
+        whenever the camera ever produced one) but prefer fresh frames."""
+        deadline = time.time() + self.stale_retry_s
+        while True:
+            frame = self.image_ch.latest()
+            seq = self.image_ch.seq
+            if frame is not None and seq != last_seq:
+                return frame, seq
+            if time.time() >= deadline:
+                return frame, seq  # duplicate (or None if never any frame)
+            time.sleep(0.005)
 
     def __call__(self) -> dict:
         """Trigger: returns {success, results: [{type, confidence}, ...]}."""
@@ -52,15 +70,9 @@ class MultiFrameDetectService:
         for _ in range(self.frames_to_capture):
             if self.frame_interval_s > 0:
                 time.sleep(self.frame_interval_s)
-            frame = self.image_ch.latest()
-            if frame is None:
-                continue
-            # avoid re-using a stale frame if the camera stalled
-            seq = self.image_ch.seq
-            if seq == last_seq and len(frames) > 0:
-                continue
-            last_seq = seq
-            frames.append(frame)
+            frame, last_seq = self._fresh_or_duplicate(last_seq)
+            if frame is not None:
+                frames.append(frame)
         if not frames:
             return {"success": False, "message": "no frames available"}
 

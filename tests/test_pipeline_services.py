@@ -200,3 +200,121 @@ def test_detect_target_service_busy_rejection():
     resp2 = svc(DetectTargetRequest(aim_type="fruit"))
     t1.join()
     assert resp2.message == "BUSY"  # reference srv.py:113-115 semantics
+
+
+def test_multiframe_service_accepts_duplicates_on_stalled_camera():
+    """A stalled camera must not shrink the batch: the service waits
+    briefly for fresh frames, then accepts duplicates — exactly
+    frames_to_capture frames whenever the camera produced at least one
+    (reference src/yolo_detector.py:263-272 waits and accepts duplicates)."""
+    bus = Bus()
+    svc = MultiFrameDetectService(FakeEngine(), bus=bus,
+                                  frame_interval_s=0.0, stale_retry_s=0.01)
+    bus.channel("/usb_cam/image_raw").publish(
+        np.full((480, 640, 3), 200, np.uint8))  # ONE frame, then stall
+    res = svc()
+    assert res["success"]
+    assert res["frames_processed"] == 8
+    assert res["results"][0]["type"] == "cake"
+
+
+def test_multiframe_service_prefers_fresh_frames():
+    bus = Bus()
+    svc = MultiFrameDetectService(FakeEngine(), bus=bus,
+                                  frame_interval_s=0.0, stale_retry_s=0.5)
+    ch = bus.channel("/usb_cam/image_raw")
+
+    def feed():
+        for _ in range(8):
+            ch.publish(np.full((480, 640, 3), 200, np.uint8))
+            time.sleep(0.01)
+
+    t = threading.Thread(target=feed)
+    t.start()
+    res = svc()
+    t.join()
+    assert res["frames_processed"] == 8
+
+
+# ---------------------------------------------------------------------------
+# Camera capture source
+# ---------------------------------------------------------------------------
+
+
+class FakeCapture:
+    def __init__(self, n_frames=20, shape=(480, 640, 3)):
+        self.n = n_frames
+        self.i = 0
+        self.shape = shape
+
+    def isOpened(self):
+        return True
+
+    def read(self):
+        if self.i < self.n:
+            self.i += 1
+            return True, np.full(self.shape, self.i % 256, np.uint8)
+        time.sleep(0.002)
+        return False, None
+
+    def release(self):
+        pass
+
+
+def test_camera_source_publishes_frames():
+    from lanetpu.pipeline.camera import CameraSource
+
+    bus = Bus()
+    got = []
+    bus.channel("/usb_cam/image_raw").subscribe(got.append)
+    cam = CameraSource(bus=bus, capture_factory=lambda: FakeCapture(12))
+    assert cam.start()
+    deadline = time.time() + 5.0
+    while time.time() < deadline and cam.stats["published"] < 5:
+        time.sleep(0.01)
+    cam.stop()
+    assert cam.stats["captured"] >= 5
+    assert cam.stats["published"] >= 5
+    assert len(got) >= 5
+    assert got[0].shape == (480, 640, 3) and got[0].dtype == np.uint8
+
+
+def test_camera_source_graceful_without_hardware():
+    from lanetpu.pipeline.camera import CameraSource
+
+    cam = CameraSource(capture_factory=lambda: None)
+    assert cam.start() is False  # no camera: no exception, no threads
+    cam.stop()
+
+
+def test_camera_source_feeds_multiframe_service():
+    """Camera -> ring -> channel -> 8-frame detect service, end to end."""
+    from lanetpu.pipeline.camera import CameraSource
+
+    bus = Bus()
+    cam = CameraSource(bus=bus,
+                       capture_factory=lambda: FakeCapture(500, (480, 640, 3)))
+    svc = MultiFrameDetectService(FakeEngine(), bus=bus,
+                                  frame_interval_s=0.005, stale_retry_s=0.05)
+    assert cam.start()
+    try:
+        res = svc()
+    finally:
+        cam.stop()
+    assert res["success"] and res["frames_processed"] == 8
+
+
+def test_camera_source_odd_frame_shape_fits_ring():
+    from lanetpu.pipeline.camera import CameraSource
+
+    bus = Bus()
+    got = []
+    bus.channel("/usb_cam/image_raw").subscribe(got.append)
+    cam = CameraSource(bus=bus, frame_shape=(480, 640, 3),
+                       capture_factory=lambda: FakeCapture(8, (360, 480, 3)))
+    assert cam.start()
+    deadline = time.time() + 5.0
+    while time.time() < deadline and not got:
+        time.sleep(0.01)
+    cam.stop()
+    assert got and got[0].shape == (480, 640, 3)
