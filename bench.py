@@ -47,6 +47,59 @@ def _enable_compilation_cache():
         pass
 
 
+def chained_latency_ms(fn, variables, frames, thr, device_sync,
+                       n1: int = 4, n2: int = 12) -> float:
+    """Per-call device latency via DEPENDENT dispatch chains.
+
+    On this environment every host<->device sync pays a ~25 ms tunnel RTT
+    (an artifact of the remote axon link, not the chip), so timing one call
+    with a sync would report tunnel latency, not pipeline latency. Instead:
+    chain k dependent executions (each call's input XORs in a scalar from
+    the previous output, forcing sequential device execution), sync once,
+    and take the slope between two chain lengths — the constant sync/RTT
+    cost cancels.
+    """
+    out = fn(variables, frames, thr)
+    device_sync(out)
+
+    def chain(k):
+        o = out
+        t0 = time.perf_counter()
+        for _ in range(k):
+            dep = (o[0, 0, 0] & np.uint8(0)).astype(frames.dtype)
+            o = fn(variables, frames ^ dep, thr)
+        device_sync(o)
+        return time.perf_counter() - t0
+
+    chain(2)  # warm the eager-op caches on the chain path
+    # short chains: longer ones become host-submission-bound on the
+    # tunneled dev environment and overestimate device latency
+    t1 = min(chain(n1) for _ in range(3))
+    t2 = min(chain(n2) for _ in range(3))
+    return max((t2 - t1) / (n2 - n1), 0.0) * 1e3
+
+
+def h2d_gbps(device, mb: int = 32, reps: int = 4) -> float:
+    """Achieved host->device copy bandwidth (GB/s). NOTE: on this dev
+    environment the device sits behind a ~35 MB/s tunnel; on a production
+    TPU host this measures real PCIe/DMA staging throughput."""
+    import jax
+
+    from lanetpu.utils.timing import device_sync
+
+    rng = np.random.default_rng(0)
+    bufs = [rng.integers(0, 256, size=mb * 1024 * 1024, dtype=np.uint8)
+            for _ in range(reps)]
+    x = jax.device_put(bufs[0], device)
+    device_sync(x)
+    t0 = time.perf_counter()
+    xs = [jax.device_put(b, device) for b in bufs]
+    for x in xs:
+        device_sync(x)
+    dt = time.perf_counter() - t0
+    return reps * mb / 1024 / dt
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -84,8 +137,11 @@ def main():
             t0 = time.perf_counter()
             device_sync(fn(seg.variables, frames, thr))
             lat.append(time.perf_counter() - t0)
-        # pipelined throughput (K batches in flight, one sync)
-        k = 10
+        # pipelined throughput (K batches in flight, one sync). K=60:
+        # per-dispatch tunnel overhead (~0.9 ms residual at K=10 on this
+        # dev environment) amortizes; the streaming runner dispatches
+        # continuously in production.
+        k = 60
         t0 = time.perf_counter()
         outs = [fn(seg.variables, frames, thr) for _ in range(k)]
         device_sync(outs[-1])
@@ -98,6 +154,23 @@ def main():
                     "ms_per_batch": per_batch * 1e3,
                     "latency_ms": min(lat) * 1e3}
 
+    # Latency mode: small-batch dependent-chain latency (the interactive
+    # single-frame path; reference end-to-end is 18.8 ms, README.md:4233-4255)
+    latency = {}
+    for bs in (1, 8):
+        frames = jax.device_put(jnp.asarray(
+            rng.integers(0, 256, size=(bs, 480, 640, 3), dtype=np.uint8)),
+            seg.device)
+        t0 = time.perf_counter()
+        device_sync(fn(seg.variables, frames, thr))
+        log(f"latency bs={bs}: first call {time.perf_counter() - t0:.1f}s")
+        ms = chained_latency_ms(fn, seg.variables, frames, thr, device_sync)
+        latency[bs] = ms
+        log(f"latency bs={bs}: {ms:.2f} ms/frame-batch (chained, sync-free)")
+
+    bw = h2d_gbps(seg.device)
+    log(f"h2d: {bw:.3f} GB/s (dev-env tunnel-bound; see docs/performance.md)")
+
     baseline_fps = 122.0  # RK3588 NPU INT8, model-only (README.md:4224)
     result = {
         "metric": "224x224 frames/sec/chip (frame->mask->IPM)",
@@ -107,6 +180,9 @@ def main():
         "batch_size": best["batch_size"],
         "ms_per_batch": round(best["ms_per_batch"], 3),
         "single_batch_latency_ms": round(best["latency_ms"], 2),
+        "latency_ms_b1": round(latency[1], 2),
+        "latency_ms_b8": round(latency[8], 2),
+        "h2d_gbps": round(bw, 3),
     }
     print(json.dumps(result))
 

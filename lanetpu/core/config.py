@@ -130,6 +130,10 @@ class PipelineConfig:
     # Warp implementation on the MXU path: "einsum" (XLA, materializes
     # weights in HBM) or "pallas" (in-VMEM weight synthesis kernel).
     warp_impl: str = "einsum"
+    # Fold BatchNorm into conv weights at load time (the RKNN-compiler
+    # transform, SURVEY.md §2.1 #18) and run the functional folded
+    # forward: ~7% pipeline throughput at f32-exact outputs.
+    fold_bn: bool = True
 
 
 @dataclass

@@ -27,58 +27,84 @@ from lanetpu.pipeline.channels import Bus
 
 
 class StreamingRunner:
-    """Generic double-buffered batch pipeline over a device function.
+    """Generic K-deep staged batch pipeline over a device function.
 
-    device_fn: jitted fn(batch_device_array) -> device output
+    device_fn: jitted fn(batch_device_array) -> device output.
+    `inflight` batches are dispatched ahead of the sync point, so H2D
+    staging of batches N+1..N+K overlaps device compute of batch N.
+    Host batching writes into `inflight + 1` ROTATING preallocated staging
+    buffers (no per-batch np.stack allocation, and a buffer is never
+    rewritten while its device_put may still be reading it).
     """
 
     def __init__(self, device_fn: Callable, batch_size: int = 32,
-                 device=None):
+                 device=None, inflight: int = 2):
         self.device_fn = device_fn
         self.batch_size = batch_size
         self.device = device or jax.devices()[0]
-        self.stats = {"frames": 0, "batches": 0, "wall_s": 0.0}
+        self.inflight = max(1, inflight)
+        self.stats = {"frames": 0, "batches": 0, "wall_s": 0.0,
+                      "h2d_bytes": 0}
+        self._staging: list = []
 
     def _batches(self, frames: Iterable) -> Iterator:
-        buf = []
+        buf = None
+        n = 0
+        slot = 0
         for f in frames:
-            buf.append(f)
-            if len(buf) == self.batch_size:
-                yield np.stack(buf)
-                buf = []
-        if buf:
-            yield np.stack(buf)
+            f = np.asarray(f)
+            if buf is None:
+                if (len(self._staging) != self.inflight + 1
+                        or self._staging[0].shape[1:] != f.shape
+                        or self._staging[0].dtype != f.dtype):
+                    self._staging = [
+                        np.empty((self.batch_size,) + f.shape, f.dtype)
+                        for _ in range(self.inflight + 1)]
+                buf = self._staging[slot]
+            buf[n] = f
+            n += 1
+            if n == self.batch_size:
+                yield buf[:n]
+                slot = (slot + 1) % len(self._staging)
+                buf = self._staging[slot]
+                n = 0
+        if n:
+            yield buf[:n]
+
+    def _drain_one(self, pending, sink):
+        out, n = pending.popleft()
+        host = jax.tree_util.tree_map(np.asarray, out)  # sync point
+        if sink is not None:
+            sink(host)
+        self.stats["frames"] += n
+        self.stats["batches"] += 1
 
     def run(self, frames: Iterable, sink: Callable | None = None) -> dict:
         """Stream all frames; call sink(host_output_batch) per batch.
 
-        Keeps one batch in flight: while batch N computes on device, batch
-        N+1 is staged host->HBM; results are fetched one batch behind so
-        the host never blocks on the device inside the staging path.
-        """
+        Keeps up to `inflight` batches in flight; results are fetched
+        `inflight` batches behind so the host staging path never blocks on
+        the device."""
+        from collections import deque
+
         t_start = time.perf_counter()
-        in_flight = None  # (device_future, n_frames)
+        pending: deque = deque()
         for batch in self._batches(frames):
             staged = jax.device_put(jnp.asarray(batch), self.device)
+            self.stats["h2d_bytes"] += batch.nbytes
             out = self.device_fn(staged)  # async dispatch
-            if in_flight is not None:
-                prev_out, n = in_flight
-                host = np.asarray(prev_out)  # sync point: batch behind
-                if sink is not None:
-                    sink(host)
-                self.stats["frames"] += n
-                self.stats["batches"] += 1
-            in_flight = (out, len(batch))
-        if in_flight is not None:
-            prev_out, n = in_flight
-            host = np.asarray(prev_out)
-            if sink is not None:
-                sink(host)
-            self.stats["frames"] += n
-            self.stats["batches"] += 1
+            pending.append((out, len(batch)))
+            while len(pending) > self.inflight:
+                self._drain_one(pending, sink)
+        while pending:
+            self._drain_one(pending, sink)
         self.stats["wall_s"] = time.perf_counter() - t_start
         self.stats["fps"] = (self.stats["frames"] / self.stats["wall_s"]
                              if self.stats["wall_s"] > 0 else 0.0)
+        # achieved host->device staging rate, overlapped with compute
+        self.stats["h2d_gbps"] = (self.stats["h2d_bytes"]
+                                  / self.stats["wall_s"] / 1e9
+                                  if self.stats["wall_s"] > 0 else 0.0)
         return dict(self.stats)
 
 

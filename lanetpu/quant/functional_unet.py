@@ -21,11 +21,14 @@ from lanetpu.quant.fold import unet_layer_plan
 
 
 def conv2d(x, kernel, bias, stride: int = 1):
+    # fp32 accumulation regardless of activation dtype (bf16-safe); the
+    # caller casts back to its compute dtype
     out = lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
     )
     return out + bias
 
@@ -37,6 +40,7 @@ def conv2d_transpose(x, kernel, bias, stride: int = 2):
         strides=(stride, stride),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
     )
     return out + bias
 
@@ -47,6 +51,7 @@ def unet_forward_folded(folded: dict, x: jnp.ndarray, features,
     """Run the folded UNet. conv_hook(x, kernel, bias, name, relu) -> y
     overrides plain convs (transpose convs and pools stay fp)."""
     plan = unet_layer_plan(features)
+    dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
     skips = {}
     for op in plan:
         kind = op[0]
@@ -56,9 +61,11 @@ def unet_forward_folded(folded: dict, x: jnp.ndarray, features,
             if conv_hook is not None:
                 x = conv_hook(x, p["kernel"], p["bias"], name, relu)
             else:
-                x = conv2d(x, jnp.asarray(p["kernel"]), jnp.asarray(p["bias"]))
+                x = conv2d(x, jnp.asarray(p["kernel"], dtype),
+                           jnp.asarray(p["bias"]))
                 if relu:
                     x = jax.nn.relu(x)
+                x = x.astype(dtype)
         elif kind == "pool":
             x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 2, 2, 1),
                                   (1, 2, 2, 1), "VALID")
@@ -66,8 +73,8 @@ def unet_forward_folded(folded: dict, x: jnp.ndarray, features,
             skips[op[1]] = x
         elif kind == "convT":
             p = folded[op[1]]
-            x = conv2d_transpose(x, jnp.asarray(p["kernel"]),
-                                 jnp.asarray(p["bias"]))
+            x = conv2d_transpose(x, jnp.asarray(p["kernel"], dtype),
+                                 jnp.asarray(p["bias"])).astype(dtype)
         elif kind == "concat":
             x = jnp.concatenate([skips[op[1]], x], axis=-1)
     if final_sigmoid:

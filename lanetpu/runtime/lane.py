@@ -41,11 +41,18 @@ class LaneSegmenter:
 
     def __init__(self, module: UNet | None = None, variables: dict | None = None,
                  config: PipelineConfig | None = None, rng_seed: int = 0,
-                 forward_fn=None):
-        """`forward_fn(x_normalized) -> logits/probs [N,h,w,1]` overrides the
-        Flax forward — used to plug in the int8 quantized model
-        (quant.calibrate.QuantizedUNet.forward) or any custom engine while
-        keeping the fused pre/post pipeline."""
+                 forward_fn=None, fold_bn: bool | None = None):
+        """`forward_fn(variables, x_normalized) -> logits/probs [N,h,w,1]`
+        overrides the Flax forward — used to plug in the int8 quantized
+        model (quant.calibrate.QuantizedUNet.forward) or any custom engine
+        while keeping the fused pre/post pipeline.
+
+        fold_bn (default from config): fold BatchNorm into the conv
+        weights at load time and run the functional folded forward — the
+        same transform the RKNN compiler applies to the deployed graphs
+        (14 plain ConvRelu ops, SURVEY.md §2.1 #18). Measured ~7% pipeline
+        throughput over Flax-with-BN at identical outputs (f32-exact
+        algebra; docs/performance.md)."""
         self.cfg = config or PipelineConfig()
         self.module = module or UNet(config=UNetConfig.deployed())
         self.forward_fn = forward_fn
@@ -58,8 +65,32 @@ class LaneSegmenter:
             self.device = jax.devices("cpu")[0]
         else:
             self.device = jax.devices()[0]
-        self.variables = jax.device_put(variables, self.device)
         self.compute_dtype = jnp.dtype(self.cfg.compute_dtype)
+        fold = getattr(self.cfg, "fold_bn", True) if fold_bn is None else fold_bn
+        already_folded = (isinstance(variables, dict) and "head" in variables
+                          and "params" not in variables)
+        if forward_fn is None and (fold or already_folded):
+            from lanetpu.quant.fold import fold_unet_batchnorm
+            from lanetpu.quant.functional_unet import unet_forward_folded
+
+            if already_folded:
+                folded = variables  # a folded dict passed back in
+            elif isinstance(variables, dict) and "batch_stats" in variables:
+                folded = fold_unet_batchnorm(jax.device_get(variables),
+                                             self.module.config.features)
+            else:
+                folded = None
+            if folded is not None:
+                kdtype = self.compute_dtype
+                variables = {k: {"kernel": jnp.asarray(v["kernel"], kdtype),
+                                 "bias": jnp.asarray(v["bias"], jnp.float32)}
+                             for k, v in folded.items()}
+                feats = self.module.config.features
+                sig = self.module.config.final_sigmoid
+                self.forward_fn = lambda v, x: unet_forward_folded(
+                    v, x, feats, final_sigmoid=sig)
+                self._folded_emits_prob = sig
+        self.variables = jax.device_put(variables, self.device)
         # IPM homography, computed once on the host
         # (reference src/unet_ros_node.py:255).
         self.ipm_matrix = get_perspective_transform(
@@ -95,8 +126,8 @@ class LaneSegmenter:
         and a program-size bloat on any backend).
         """
         if self.forward_fn is not None:
-            logits = self.forward_fn(x_normalized)
-            emits_prob = False
+            logits = self.forward_fn(variables, x_normalized)
+            emits_prob = getattr(self, "_folded_emits_prob", False)
         else:
             logits = self.module.apply(variables, x_normalized, train=False)
             emits_prob = self.module.config.final_sigmoid
@@ -123,7 +154,7 @@ class LaneSegmenter:
         cfg = config or PipelineConfig()
         module = UNet(config=_UC(features=tuple(quantized.features)))
         seg = cls(module=module, config=cfg,
-                  forward_fn=lambda x: quantized.forward(
+                  forward_fn=lambda _v, x: quantized.forward(
                       x.astype(jnp.float32), mode=mode))
         return seg
 

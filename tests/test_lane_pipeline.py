@@ -94,7 +94,10 @@ def test_mask_matches_manual_reference(segmenter, rng):
 
     x = resize_bilinear(jnp.asarray(frame[None]), (224, 224))
     x = normalize_image(x, segmenter.cfg.mean, segmenter.cfg.std)
-    logits = segmenter.module.apply(segmenter.variables, x, train=False)
+    if segmenter.forward_fn is not None:  # folded-BN production forward
+        logits = segmenter.forward_fn(segmenter.variables, x)
+    else:
+        logits = segmenter.module.apply(segmenter.variables, x, train=False)
     import jax
 
     prob = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))

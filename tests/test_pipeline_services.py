@@ -318,3 +318,29 @@ def test_camera_source_odd_frame_shape_fits_ring():
         time.sleep(0.01)
     cam.stop()
     assert got and got[0].shape == (480, 640, 3)
+
+
+def test_streaming_runner_staging_rotation_no_aliasing():
+    """K-deep staging with rotating host buffers: every output must match
+    its own input (catches buffer-reuse races/aliasing), in order."""
+    import jax
+
+    fn = jax.jit(lambda x: x.astype(np.int32) + 1)
+    runner = StreamingRunner(fn, batch_size=4, inflight=3)
+    frames = [np.full((6, 6), i, np.uint8) for i in range(40)]
+    got = []
+    stats = runner.run(iter(frames), sink=lambda b: got.append(np.asarray(b)))
+    flat = np.concatenate([g.reshape(-1, 36) for g in got])
+    assert stats["frames"] == 40 and stats["batches"] == 10
+    assert stats["h2d_bytes"] == 40 * 36
+    assert stats["h2d_gbps"] > 0
+    np.testing.assert_array_equal(flat[:, 0], np.arange(40) + 1)
+
+
+def test_streaming_runner_partial_last_batch():
+    import jax
+
+    fn = jax.jit(lambda x: x)
+    runner = StreamingRunner(fn, batch_size=8, inflight=2)
+    stats = runner.run(iter(np.zeros((11, 4, 4), np.uint8)))
+    assert stats["frames"] == 11 and stats["batches"] == 2
