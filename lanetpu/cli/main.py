@@ -156,12 +156,19 @@ def cmd_quantize(args):
     folded = fold_unet_batchnorm(variables, features)
 
     # scene-quota-stratified calibration set (README.md:3313-3336 parity)
+    # + the bundled real frames (real-capture calibration coverage)
     idx = calibration_indices(args.calib_images, seed=123)
     batches = []
     for i in range(0, len(idx), 8):
         imgs, masks = generate_batch(idx[i:i + 8], 123)
         x, _ = preprocess_eval_batch(imgs, masks)
         batches.append(np.asarray(x))
+    from lanetpu.ops.normalize import normalize_image
+    from lanetpu.quant.pipeline import real_frame_calibration_batch
+
+    real = real_frame_calibration_batch()
+    if real is not None:
+        batches.append(np.asarray(normalize_image(jnp.asarray(real))))
     ranges = calibrate_unet(folded, features, batches)
     q = quantize_unet(folded, features, ranges,
                       final_sigmoid=meta.get("final_sigmoid", False))

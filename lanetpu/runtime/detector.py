@@ -81,21 +81,26 @@ class YoloEngine:
         return decode_detections(tuple(outputs), img_size=self.cfg.img_size,
                                  strides=self.cfg.strides, bins=self.cfg.dfl_bins)
 
-    def detect_batch(self, frames_bgr: np.ndarray, map_to_original: bool = True):
+    def detect_batch(self, frames_bgr: np.ndarray, map_to_original: bool = True,
+                     score_thresh: float | None = None):
         """[N, H, W, 3] uint8 BGR -> list of (boxes, classes, scores) per frame.
 
         Returns `(None, None, None)` entries for empty frames, matching the
         reference's post_process convention (src/tool.py:173-174).
+        `score_thresh` overrides the deployment threshold (cfg.obj_thresh,
+        reference OBJ_THRESH=0.25) — mAP evaluation conventionally uses a
+        much lower one so recall at low confidence is measured.
         """
         h, w = frames_bgr.shape[1:3]
         params = letterbox_params((h, w), self.cfg.img_size)
         b, s, c = self._jitted(self.variables, jnp.asarray(frames_bgr, dtype=jnp.uint8))
         b, s, c = np.asarray(b), np.asarray(s), np.asarray(c)
+        thr = self.cfg.obj_thresh if score_thresh is None else score_thresh
         results = []
         for i in range(len(frames_bgr)):
             boxes, classes, scores = per_class_nms(
                 b[i], s[i], c[i],
-                score_thresh=self.cfg.obj_thresh, iou_thresh=self.cfg.nms_thresh)
+                score_thresh=thr, iou_thresh=self.cfg.nms_thresh)
             if boxes is not None and map_to_original:
                 boxes = unletterbox_boxes(boxes, params)
             results.append((boxes, classes, scores))

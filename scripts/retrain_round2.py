@@ -109,6 +109,12 @@ def stage_quant_unet():
         imgs, masks = generate_batch(idx[i:i + 8], 123)
         x, _ = preprocess_eval_batch(imgs, masks)
         batches.append(np.asarray(x))
+    from lanetpu.ops.normalize import normalize_image
+    from lanetpu.quant.pipeline import real_frame_calibration_batch
+
+    real = real_frame_calibration_batch()
+    if real is not None:
+        batches.append(np.asarray(normalize_image(jnp.asarray(real))))
     ranges = calibrate_unet(folded, features, batches)
     q = quantize_unet(folded, features, ranges,
                       final_sigmoid=meta.get("final_sigmoid", False))
