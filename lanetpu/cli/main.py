@@ -285,6 +285,35 @@ def cmd_stream(args):
     print(json.dumps(stats))
 
 
+def cmd_camera(args):
+    """Live webcam -> lane masks (reference src/unet.py:190-224 demo)."""
+    import time
+
+    from lanetpu.pipeline.camera import CameraSource
+    from lanetpu.pipeline.channels import Bus
+    from lanetpu.pipeline.streaming import LaneStreamNode
+
+    seg = _load_segmenter(args)
+    bus = Bus()
+    cam = CameraSource(bus=bus, topic=seg.cfg.input_topic,
+                       device=args.device, fps_limit=args.fps)
+    node = LaneStreamNode(seg, bus=bus, input_topic=seg.cfg.input_topic,
+                          output_topic=seg.cfg.output_topic)
+    if not cam.start():
+        print(json.dumps({"error": "no camera available",
+                          "device": args.device}))
+        return
+    deadline = time.time() + args.seconds
+    try:
+        while time.time() < deadline:
+            time.sleep(0.1)
+    except KeyboardInterrupt:
+        pass
+    cam.stop()
+    node.shutdown()
+    print(json.dumps({"frames": node.frame_count, **cam.stats}))
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="lanetpu",
                                 description="TPU-native lane detection framework")
@@ -380,6 +409,13 @@ def build_parser():
     sp.add_argument("--frames", type=int, default=512)
     sp.add_argument("--batch-size", type=int, default=64)
     sp.set_defaults(fn=cmd_stream)
+
+    sp = sub.add_parser("camera", help="live webcam lane-mask demo")
+    common(sp)
+    sp.add_argument("--device", type=int, default=0)
+    sp.add_argument("--fps", type=float, default=None)
+    sp.add_argument("--seconds", type=float, default=10.0)
+    sp.set_defaults(fn=cmd_camera)
 
     return p
 

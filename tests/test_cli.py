@@ -61,3 +61,14 @@ def test_cli_train_smoke(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["epochs_run"] == 1
     assert os.path.exists(tmp_path / "ckpt" / "last_model.ltpu")
+
+
+def test_cli_camera_graceful_without_hardware(tmp_path, capsys):
+    """The webcam demo command reports cleanly on headless machines."""
+    import json as _json
+
+    from lanetpu.cli.main import main
+
+    main(["camera", "--device", "99", "--seconds", "0.1"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert _json.loads(out)["error"] == "no camera available"
