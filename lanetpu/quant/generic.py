@@ -176,29 +176,36 @@ def _fakequant_dense(mod: nn.Dense, x, q, scale: float, zp: int):
 
 
 def collect_ranges(forward: Callable, variables, batches: Iterable,
-                   extra_args: tuple = ()) -> dict:
+                   extra_args: tuple = (),
+                   percentile: float | None = 99.99) -> dict:
     """Record per-layer input activation ranges over calibration batches.
 
     ``forward(variables, batch, *extra_args)`` must be the EXACT inference
     program (including any preprocessing), so each conv sees the tensors it
-    will see in production. Returns {path: (min, max)} over all batches.
-    The per-batch collection is ONE jitted program returning a small dict of
-    scalars (eager per-op execution is pathological on tunneled backends).
+    will see in production. Returns {path: (lo, hi)} over all batches —
+    plain min/max with percentile=None, else per-batch percentile clipping
+    averaged across batches (outliers otherwise inflate the scale; see
+    quant.calibrate.calibrate_unet for the measured effect).
+    The per-batch collection is ONE jitted program returning a small dict
+    of scalars (eager per-op execution is pathological on tunneled
+    backends).
     """
+    qs = (jnp.asarray([0.0, 100.0]) if percentile is None
+          else jnp.asarray([100.0 - percentile, percentile]))
 
     def traced(variables, x, *extra):
-        records: dict[str, tuple] = {}
+        records: dict[str, jnp.ndarray] = {}
 
         def ic(next_fn, args, kwargs, context):
             mod = context.module
             if _is_quantizable(mod, context.method_name):
                 p = _path_of(mod)
-                h = args[0].astype(jnp.float32)
-                lo, hi = jnp.min(h), jnp.max(h)
+                lohi = jnp.percentile(args[0].astype(jnp.float32).ravel(), qs)
                 if p in records:  # shared module called twice
-                    plo, phi = records[p]
-                    lo, hi = jnp.minimum(lo, plo), jnp.maximum(hi, phi)
-                records[p] = (lo, hi)
+                    prev = records[p]
+                    lohi = jnp.stack([jnp.minimum(lohi[0], prev[0]),
+                                      jnp.maximum(lohi[1], prev[1])])
+                records[p] = lohi
             return next_fn(*args, **kwargs)
 
         with nn.intercept_methods(ic):
@@ -206,17 +213,18 @@ def collect_ranges(forward: Callable, variables, batches: Iterable,
         return records
 
     fn = jax.jit(traced)
-    ranges: dict[str, list] = {}
+    per_batch: dict[str, list] = {}
     for batch in batches:
         out = jax.device_get(fn(variables, jnp.asarray(batch), *extra_args))
-        for name, (lo, hi) in out.items():
-            lo, hi = float(lo), float(hi)
-            if name in ranges:
-                ranges[name][0] = min(ranges[name][0], lo)
-                ranges[name][1] = max(ranges[name][1], hi)
-            else:
-                ranges[name] = [lo, hi]
-    return {k: (v[0], v[1]) for k, v in ranges.items()}
+        for name, lohi in out.items():
+            per_batch.setdefault(name, []).append(
+                (float(lohi[0]), float(lohi[1])))
+    if percentile is None:
+        return {k: (min(lo for lo, _ in v), max(hi for _, hi in v))
+                for k, v in per_batch.items()}
+    return {k: (float(np.mean([lo for lo, _ in v])),
+                float(np.mean([hi for _, hi in v])))
+            for k, v in per_batch.items()}
 
 
 # ---------------------------------------------------------------------------

@@ -200,3 +200,41 @@ def test_calibration_indices_scene_quota():
     # quota: multiple scene conditions represented, none starved
     assert len(counts) >= 3
     assert min(counts.values()) >= 1
+
+
+def test_percentile_calibration_tightens_ranges():
+    """Percentile calibration must produce ranges no wider than min/max
+    and still keep int8 parity within the gate."""
+    m, v = _unet()
+    fwd = lambda vv, x: m.apply(vv, x, train=False)  # noqa: E731
+    batches = [RNG.normal(0, 1, (4, 32, 32, 3)).astype(np.float32)
+               for _ in range(3)]
+    r_mm = collect_ranges(fwd, v, batches, percentile=None)
+    r_pc = collect_ranges(fwd, v, batches, percentile=99.9)
+    assert set(r_mm) == set(r_pc)
+    for k in r_mm:
+        assert r_pc[k][0] >= r_mm[k][0] - 1e-6
+        assert r_pc[k][1] <= r_mm[k][1] + 1e-6
+    qarrays, act_qp = quantize_variables(v, r_pc)
+    qf = make_quantized_forward(fwd, act_qp, "int8")
+    x = jnp.asarray(batches[0])
+    prob_fp = np.asarray(jax.nn.sigmoid(jax.jit(fwd)(v, x)))
+    prob_i8 = np.asarray(jax.nn.sigmoid(
+        jax.jit(qf)({"fp": v, "q": qarrays}, x)))
+    assert np.abs(prob_fp - prob_i8).mean() < 0.05
+
+
+def test_mixed_precision_unet_hooks():
+    """QuantizedUNet layers without quant params run fp (mixed precision)."""
+    from lanetpu.quant import calibrate_unet, fold_unet_batchnorm, quantize_unet
+
+    m, v = _unet()
+    folded = fold_unet_batchnorm(jax.device_get(v), (4, 8))
+    batches = [RNG.normal(0, 1, (2, 32, 32, 3)).astype(np.float32)]
+    ranges = calibrate_unet(folded, (4, 8), batches)
+    ranges.pop("head")  # leave the head fp
+    q = quantize_unet(folded, (4, 8), ranges)
+    out = np.asarray(q.forward(jnp.asarray(batches[0]), mode="int8"))
+    assert np.isfinite(out).all()
+    out_fq = np.asarray(q.forward(jnp.asarray(batches[0]), mode="fakequant"))
+    assert np.abs(out - out_fq).max() < 1e-2
