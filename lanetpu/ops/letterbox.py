@@ -50,12 +50,23 @@ def letterbox_params(in_hw: tuple, out_hw: tuple) -> LetterboxParams:
     )
 
 
-@partial(jax.jit, static_argnames=("out_hw", "pad_value"))
-def letterbox(img: jnp.ndarray, out_hw: tuple, pad_value: int = 0) -> jnp.ndarray:
-    """Letterbox an [..., H, W, C] image to `out_hw`, preserving aspect."""
+@partial(jax.jit, static_argnames=("out_hw", "pad_value", "use_mxu"))
+def letterbox(img: jnp.ndarray, out_hw: tuple, pad_value: int = 0,
+              use_mxu: bool = True) -> jnp.ndarray:
+    """Letterbox an [..., H, W, C] image to `out_hw`, preserving aspect.
+
+    use_mxu=True (default) resizes via the MXU matmul kernel — per-pixel
+    gathers are ~60x slower on TPU (kernels/resample.py); the gather path
+    (use_mxu=False) remains the exact-cv2-semantics parity reference, and
+    the two agree within 2 uint8 LSB (tests/test_resample_mxu.py)."""
     p = letterbox_params((img.shape[-3], img.shape[-2]), out_hw)
     new_w, new_h = p.new_unpad_wh
-    resized = resize_bilinear(img, (new_h, new_w))
+    if use_mxu:
+        from lanetpu.kernels.resample import resize_bilinear_mxu
+
+        resized = resize_bilinear_mxu(img, (new_h, new_w))
+    else:
+        resized = resize_bilinear(img, (new_h, new_w))
     top, bottom, left, right = p.pad
     pad_widths = [(0, 0)] * (img.ndim - 3) + [(top, bottom), (left, right), (0, 0)]
     return jnp.pad(resized, pad_widths, constant_values=pad_value)

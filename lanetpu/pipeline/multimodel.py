@@ -46,7 +46,12 @@ class MultiModelPipeline:
                  yolo_vars: dict | None = None,
                  config: PipelineConfig | None = None,
                  yolo_config: YoloConfig | None = None,
-                 classes=CLASSES_12, rng_seed: int = 0):
+                 classes=CLASSES_12, rng_seed: int = 0,
+                 unet_apply=None, resnet_apply=None, yolo_apply=None):
+        """apply overrides (fn(variables, x) -> out) plug alternate
+        executions — int8 artifacts via runtime.engine.build_apply_fn, or
+        the BN-folded U-Net forward (applied automatically when unet_vars
+        carry batch_stats, like LaneSegmenter)."""
         self.cfg = config or PipelineConfig()
         self.ycfg = yolo_config or YoloConfig(num_classes=len(classes))
         self.classes = tuple(classes)
@@ -60,11 +65,40 @@ class MultiModelPipeline:
         ih, iw = self.cfg.input_size
         key = jax.random.PRNGKey(rng_seed)
         zeros224 = jnp.zeros((1, ih, iw, 3), jnp.float32)
-        self.unet_vars = unet_vars or self.unet.init(key, zeros224)
-        self.resnet_vars = resnet_vars or self.resnet.init(key, zeros224)
+        self.unet_vars = unet_vars if unet_vars is not None \
+            else self.unet.init(key, zeros224)
+        self.resnet_vars = resnet_vars if resnet_vars is not None \
+            else self.resnet.init(key, zeros224)
         yh, yw = self.ycfg.img_size
-        self.yolo_vars = yolo_vars or self.yolo.init(
-            key, jnp.zeros((1, yh, yw, 3), jnp.float32))
+        self.yolo_vars = yolo_vars if yolo_vars is not None else \
+            self.yolo.init(key, jnp.zeros((1, yh, yw, 3), jnp.float32))
+
+        self._unet_apply = unet_apply or (
+            lambda v, x: self.unet.apply(v, x, train=False))
+        if (unet_apply is None and isinstance(self.unet_vars, dict)
+                and "batch_stats" in self.unet_vars
+                and getattr(self.cfg, "fold_bn", True)):
+            from lanetpu.quant.fold import fold_unet_batchnorm
+            from lanetpu.quant.functional_unet import unet_forward_folded
+
+            folded = fold_unet_batchnorm(jax.device_get(self.unet_vars),
+                                         self.unet.config.features)
+            self.unet_vars = {k: {"kernel": jnp.asarray(v["kernel"], dtype),
+                                  "bias": jnp.asarray(v["bias"], jnp.float32)}
+                              for k, v in folded.items()}
+            feats = self.unet.config.features
+            self._unet_apply = lambda v, x: unet_forward_folded(v, x, feats)
+        self._resnet_apply = resnet_apply or (
+            lambda v, x: self.resnet.apply(v, x, train=False))
+        self._yolo_apply = yolo_apply or (
+            lambda v, x: self.yolo.apply(v, x, train=False))
+
+        # device-resident weights: loaded checkpoints are host numpy, and
+        # jit args re-upload per call (measured: the fp stack spent 1.8 s
+        # PER BATCH re-sending the ResNet50 over the host link)
+        self.unet_vars = jax.device_put(self.unet_vars)
+        self.resnet_vars = jax.device_put(self.resnet_vars)
+        self.yolo_vars = jax.device_put(self.yolo_vars)
 
         ipm = get_perspective_transform(self.cfg.ipm_src_points,
                                         self.cfg.ipm_dst_points)
@@ -72,6 +106,42 @@ class MultiModelPipeline:
             ipm, self.cfg.ipm_output_size, self.cfg.input_size)
         self.compute_dtype = dtype
         self._jitted = jax.jit(self._device_fn)
+
+    @classmethod
+    def from_checkpoints(cls, unet_path: str, points_path: str,
+                         yolo_path: str, config: PipelineConfig | None = None):
+        """Build the fused pipeline from .ltpu artifacts — fp32 OR int8
+        (mixed freely): the all-int8 deployment stack is
+        from_checkpoints('lane_unet/model_int8.ltpu',
+        'points_xcoords_int8.ltpu', 'yolo_synthetic_int8.ltpu')."""
+        from lanetpu.models.yolo import CLASSES_11
+        from lanetpu.runtime.engine import build_apply_fn, load_engine
+
+        um, uv, umeta = load_engine(unet_path)
+        pm, pv, pmeta = load_engine(points_path)
+        ym, yv, ymeta = load_engine(yolo_path)
+        nc = ymeta.get("num_classes", 12)
+        classes = (CLASSES_11 if nc == 11 else CLASSES_12 if nc == 12
+                   else tuple(str(i) for i in range(nc)))
+        ycfg = YoloConfig(num_classes=nc,
+                          img_size=tuple(ymeta.get("img_size", (640, 640))),
+                          width_mult=ymeta.get("width_mult", 0.25),
+                          depth_mult=ymeta.get("depth_mult", 0.33))
+        # rebuild the modules at the pipeline compute dtype (the registry
+        # builders default to f32; fp stacks should run bf16 on the MXU)
+        dtype = jnp.dtype((config or PipelineConfig()).compute_dtype)
+        um = UNet(config=um.config, dtype=dtype)
+        pm = ResNetRegressor(config=pm.config, dtype=dtype)
+        ym = YoloDetector(config=ycfg, dtype=dtype)
+        return cls(unet=um, unet_vars=uv, resnet=pm, resnet_vars=pv,
+                   yolo=ym, yolo_vars=yv, config=config, yolo_config=ycfg,
+                   classes=classes,
+                   unet_apply=build_apply_fn(um, umeta)
+                   if "quant" in umeta else None,
+                   resnet_apply=build_apply_fn(pm, pmeta)
+                   if "quant" in pmeta else None,
+                   yolo_apply=build_apply_fn(ym, ymeta)
+                   if "quant" in ymeta else None)
 
     def _device_fn(self, unet_vars, resnet_vars, yolo_vars, frames_bgr,
                    threshold):
@@ -84,20 +154,18 @@ class MultiModelPipeline:
         x = normalize_image(rgb, self.cfg.mean, self.cfg.std,
                             dtype=self.compute_dtype)
 
-        logits = self.unet.apply(unet_vars, x, train=False)
+        logits = self._unet_apply(unet_vars, x)
         prob = jax.nn.sigmoid(logits[..., 0].astype(jnp.float32))
         binary = (prob > threshold).astype(jnp.uint8) * jnp.uint8(255)
         mask = resize_bilinear_mxu(binary[..., None], (oh, ow))[..., 0]
 
-        points_raw = self.resnet.apply(resnet_vars, x,
-                                       train=False).astype(jnp.float32)
+        points_raw = self._resnet_apply(resnet_vars, x).astype(jnp.float32)
 
         # YOLO branch on the raw camera frames
         yh, yw = self.ycfg.img_size
         img = letterbox(frames_bgr, (yh, yw))
         yolo_in = img[..., ::-1].astype(jnp.float32) / 255.0
-        outs = self.yolo.apply(yolo_vars, yolo_in.astype(self.compute_dtype),
-                               train=False)
+        outs = self._yolo_apply(yolo_vars, yolo_in.astype(self.compute_dtype))
         boxes, scores, cls = decode_detections(
             tuple(outs), img_size=self.ycfg.img_size,
             strides=self.ycfg.strides, bins=self.ycfg.dfl_bins)
@@ -137,8 +205,11 @@ class MultiModelPipeline:
             detections.append((b, c, s))
         return {"masks": mask, "points": points, "detections": detections}
 
-    def benchmark(self, batch_size: int = 32, num_runs: int = 10,
+    def benchmark(self, batch_size: int = 32, num_runs: int = 30,
                   warmup: int = 3) -> dict:
+        """Pipelined throughput (num_runs dispatches, one sync) — per-call
+        sync would measure the dispatch floor, not the program
+        (docs/performance.md)."""
         from lanetpu.utils.timing import device_sync
 
         rng = np.random.default_rng(0)
@@ -148,11 +219,9 @@ class MultiModelPipeline:
         args = (self.unet_vars, self.resnet_vars, self.yolo_vars, frames, thr)
         for _ in range(warmup):
             device_sync(self._jitted(*args))
-        times = []
-        for _ in range(num_runs):
-            t0 = time.perf_counter()
-            device_sync(self._jitted(*args))
-            times.append(time.perf_counter() - t0)
-        avg = float(np.mean(times))
+        t0 = time.perf_counter()
+        outs = [self._jitted(*args) for _ in range(num_runs)]
+        device_sync(outs[-1])
+        avg = (time.perf_counter() - t0) / num_runs
         return {"batch_size": batch_size, "avg_ms": avg * 1e3,
                 "fps": batch_size / avg}

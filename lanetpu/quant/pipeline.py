@@ -31,7 +31,11 @@ from lanetpu.quant.parity import MAE_GOOD, MAE_ACCEPTABLE, parity_report
 from lanetpu.runtime.engine import load_engine, save_quantized_checkpoint
 
 
-GOLDEN_FRAMES = ("/root/reference/test_images/frame_001410.jpg",)
+# Bundled real assets: the camera frame + the bird's-eye (post-IPM) shot
+# (reference test_images/frame_001410.jpg, picture.jpg —
+# src/unet_ros_node.py:379 uses both as its test inputs).
+GOLDEN_FRAMES = ("/root/reference/test_images/frame_001410.jpg",
+                 "/root/reference/picture.jpg")
 
 
 def real_frame_calibration_batch(image_size=(224, 224)) -> np.ndarray | None:
@@ -109,6 +113,7 @@ def quantize_checkpoint(model_path: str, output_path: str,
     Returns the parity report dict (also embedded in the artifact meta).
     """
     module, variables, meta = load_engine(model_path)
+    variables = jax.device_put(variables)  # not per-call host->device uploads
     arch = meta.get("arch")
 
     if arch == "unet":

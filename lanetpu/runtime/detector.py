@@ -42,7 +42,9 @@ class YoloEngine:
         if variables is None:
             variables = self.module.init(
                 jax.random.PRNGKey(rng_seed), jnp.zeros((1, ih, iw, 3), jnp.float32))
-        self.variables = variables
+        # device-resident weights (loaded checkpoints are host numpy; jit
+        # args re-upload per call otherwise)
+        self.variables = jax.device_put(variables)
         self.compute_dtype = jnp.dtype(compute_dtype)
         self._jitted = jax.jit(self._device_fn)
 

@@ -22,7 +22,6 @@ import numpy as np
 from lanetpu.core.config import ResNetConfig
 from lanetpu.models.resnet import FIXED_Y_COORDS, ResNetRegressor
 from lanetpu.ops.normalize import normalize_image
-from lanetpu.ops.resize import resize_bilinear
 
 
 class LanePointsRegressor:
@@ -48,7 +47,10 @@ class LanePointsRegressor:
             h, w = input_size
             variables = self.module.init(
                 jax.random.PRNGKey(rng_seed), jnp.zeros((1, h, w, 3), jnp.float32))
-        self.variables = variables
+        # device-resident weights: loaded checkpoints arrive as host numpy,
+        # and passing those as jit args re-uploads them EVERY call (~47 MB
+        # per ResNet50 call — seconds over a slow link)
+        self.variables = jax.device_put(variables)
         self._jitted = jax.jit(self._forward)
 
     @classmethod
@@ -63,8 +65,12 @@ class LanePointsRegressor:
 
     def _forward(self, variables, frames: jnp.ndarray) -> jnp.ndarray:
         # variables as a jit ARG (closed-over device arrays get fetched to
-        # host at lowering to become constants — slow and bloaty)
-        x = resize_bilinear(frames, self.input_size)
+        # host at lowering to become constants — slow and bloaty).
+        # MXU matmul resize on the hot path (gathers are ~60x slower on
+        # TPU); agrees with the cv2-parity gather resize within 2 LSB.
+        from lanetpu.kernels.resample import resize_bilinear_mxu
+
+        x = resize_bilinear_mxu(frames, self.input_size)
         if self.bgr_input:
             x = x[..., ::-1]
         x = normalize_image(x, dtype=self.compute_dtype)

@@ -49,19 +49,44 @@ _SHAPE_COLORS = [
 
 
 def render_detection_sample(index: int, seed: int = 42, image_size=(256, 256),
-                            num_classes: int = 11, max_objects: int = 4):
-    """-> (img uint8 [H, W, 3], boxes [M, 4] xyxy, classes [M])."""
+                            num_classes: int = 11, max_objects: int = 4,
+                            max_occlusion: float = 0.25):
+    """-> (img uint8 [H, W, 3], boxes [M, 4] xyxy, classes [M]).
+
+    Placement is rejection-sampled so no object is covered more than
+    `max_occlusion` by a later draw — otherwise heavily-occluded objects
+    keep full ground-truth boxes that nothing can detect (measured: such
+    label noise capped recall@0.5 at ~0.91 and mAP50 at ~0.91)."""
     h, w = image_size
     rng = np.random.default_rng(np.random.SeedSequence([seed, index]))
     img = rng.normal(110, 25, (h, w, 3)).clip(0, 255)
+
+    def _coverage(b, others):
+        x1, y1, x2, y2 = b
+        area = (x2 - x1) * (y2 - y1)
+        worst = 0.0
+        for o in others:
+            ix = max(0, min(x2, o[2]) - max(x1, o[0]))
+            iy = max(0, min(y2, o[3]) - max(y1, o[1]))
+            oarea = (o[2] - o[0]) * (o[3] - o[1])
+            worst = max(worst, ix * iy / area, ix * iy / oarea)
+        return worst
 
     n = int(rng.integers(1, max_objects + 1))
     boxes, classes = [], []
     for _ in range(n):
         cls = int(rng.integers(0, num_classes))
         size = int(rng.uniform(0.15, 0.4) * min(h, w))
-        x1 = int(rng.uniform(0, w - size))
-        y1 = int(rng.uniform(0, h - size))
+        placed = False
+        for _try in range(20):
+            x1 = int(rng.uniform(0, w - size))
+            y1 = int(rng.uniform(0, h - size))
+            cand = (x1, y1, x1 + size, y1 + size)
+            if _coverage(cand, boxes) <= max_occlusion:
+                placed = True
+                break
+        if not placed:
+            continue  # no clean spot: draw fewer objects
         x2, y2 = x1 + size, y1 + size
         color = np.array(_SHAPE_COLORS[cls % len(_SHAPE_COLORS)], np.float32)
         yy, xx = np.mgrid[y1:y2, x1:x2]

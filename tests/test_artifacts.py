@@ -9,8 +9,8 @@ quality claims in README.md — the reference's deployed-model parity check
     time is present and "good", and the int8 forward agrees with the fp
     forward when re-run here;
   * point regressors: val MAE <= 0.05 (both modes);
-  * detector: mAP50 >= 0.85 smoke on held-out synthetic scenes (the full
-    64-sample TPU eval in artifacts/round2_report.json reports ~0.91).
+  * detector: mAP50 >= 0.95 smoke on held-out synthetic scenes (the full
+    64-sample TPU eval in artifacts/round2_report.json reports 1.00).
 
 Sample counts are small (1-CPU-core CI); the gates carry margin vs the
 measured numbers (artifacts/round2_report.json).
@@ -208,7 +208,7 @@ def test_yolo_artifact_map50_smoke():
     eng = YoloEngine.from_checkpoint(_art("yolo_synthetic.ltpu"),
                                      compute_dtype="float32")
     rep = evaluate_detector(eng, num_samples=16)
-    assert rep["map50"] >= 0.85, rep  # full 64-sample TPU eval: ~0.91
+    assert rep["map50"] >= 0.95, rep  # full 64-sample TPU eval: 1.00
 
 
 def test_yolo_int8_artifact():
@@ -221,4 +221,4 @@ def test_yolo_int8_artifact():
     eng = YoloEngine.from_checkpoint(_art("yolo_synthetic_int8.ltpu"),
                                      compute_dtype="float32")
     rep = evaluate_detector(eng, num_samples=8)
-    assert rep["map50"] >= 0.8, rep
+    assert rep["map50"] >= 0.95, rep  # full 64-sample TPU eval: 1.00
