@@ -108,11 +108,41 @@ def cmd_train_points(args):
 def cmd_train_detect(args):
     from lanetpu.train.detect_task import train_yolo
 
+    data = None
+    if getattr(args, "coco_json", None):
+        from lanetpu.train.ingest import CocoDetectionDataset
+
+        data = CocoDetectionDataset(
+            annotation_file=args.coco_json,
+            image_dir=args.image_dir or os.path.dirname(args.coco_json),
+            img_size=(args.img_size, args.img_size),
+            max_objects=args.max_objects)
+        print(f"COCO dataset: {len(data)} images, "
+              f"{data.num_classes} classes {data.class_names}")
     result = train_yolo(num_classes=args.num_classes,
                         img_size=(args.img_size, args.img_size),
-                        epochs=args.epochs, save_path=args.output)
+                        epochs=args.epochs, save_path=args.output,
+                        data=data)
     print(json.dumps({"final_loss": result["history"][-1]["loss"],
                       "output": args.output}))
+
+
+def cmd_convert_labelme(args):
+    from lanetpu.train.ingest import convert_labelme_dir
+
+    labels = tuple(args.labels.split(",")) if args.labels else None
+    summary = convert_labelme_dir(args.json_dir, args.output,
+                                  labels=labels,
+                                  val_fraction=args.val_fraction)
+    print(json.dumps(summary))
+
+
+def cmd_extract_frames(args):
+    from lanetpu.train.ingest import extract_frames
+
+    n = extract_frames(args.video, args.output, stride=args.stride,
+                       limit=args.limit)
+    print(json.dumps({"frames_written": n, "out_dir": args.output}))
 
 
 def cmd_quantize(args):
@@ -366,8 +396,34 @@ def build_parser():
     sp.add_argument("--num-classes", type=int, default=11)
     sp.add_argument("--img-size", type=int, default=256)
     sp.add_argument("--epochs", type=int, default=10)
+    sp.add_argument("--coco-json", default=None,
+                    help="COCO annotation JSON — train on real data "
+                         "instead of the synthetic generator")
+    sp.add_argument("--image-dir", default=None,
+                    help="image directory for --coco-json "
+                         "(default: next to the JSON)")
+    sp.add_argument("--max-objects", type=int, default=8)
     sp.add_argument("-o", "--output", default="yolo_model.ltpu")
     sp.set_defaults(fn=cmd_train_detect)
+
+    sp = sub.add_parser("convert-labelme",
+                        help="LabelMe polygon JSONs -> images/ + masks/ "
+                             "lane dataset")
+    sp.add_argument("json_dir")
+    sp.add_argument("-o", "--output", default="./dataset")
+    sp.add_argument("--labels", default="lane",
+                    help="comma-separated labels to rasterize "
+                         "('' = all shapes)")
+    sp.add_argument("--val-fraction", type=float, default=0.2)
+    sp.set_defaults(fn=cmd_convert_labelme)
+
+    sp = sub.add_parser("extract-frames",
+                        help="video -> strided JPEG frames for annotation")
+    sp.add_argument("video")
+    sp.add_argument("-o", "--output", default="./frames")
+    sp.add_argument("--stride", type=int, default=5)
+    sp.add_argument("--limit", type=int, default=None)
+    sp.set_defaults(fn=cmd_extract_frames)
 
     sp = sub.add_parser("quantize",
                         help="calibrate + int8-quantize any .ltpu model")

@@ -112,6 +112,18 @@ def resolve_datasets(data_root: str, image_size=(224, 224),
                               image_size)
         return train, val
 
+    # the reference's documented layout (README.md:1059-1084):
+    # images/{train,val}/ + masks/{train,val}/ — what convert-labelme emits
+    tr_img = os.path.join(data_root, "images", "train")
+    if os.path.isdir(tr_img):
+        train = DiskLaneDataset(tr_img,
+                                os.path.join(data_root, "masks", "train"),
+                                image_size)
+        val = DiskLaneDataset(os.path.join(data_root, "images", "val"),
+                              os.path.join(data_root, "masks", "val"),
+                              image_size)
+        return train, val
+
     full = DiskLaneDataset(os.path.join(data_root, "images"),
                            os.path.join(data_root, "masks"), image_size)
     n_val = max(1, int(len(full) * val_fraction))

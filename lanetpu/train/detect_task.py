@@ -416,8 +416,18 @@ def train_yolo(num_classes: int = 11, img_size=(256, 256), epochs: int = 10,
                learning_rate: float = 1e-3, width_mult: float = 0.25,
                depth_mult: float = 0.33, seed: int = 42,
                save_path: str | None = None, compute_dtype=jnp.bfloat16,
-               verbose: bool = True, assigner: str = "tal") -> dict:
+               verbose: bool = True, assigner: str = "tal",
+               data=None) -> dict:
+    """`data`: optional real dataset (e.g. `train.ingest.CocoDetectionDataset`)
+    with `__len__`, `.num_classes`, `.img_size`, and
+    `.gt_batch(indices) -> (imgs, gt_boxes, gt_classes, gt_valid)`;
+    overrides the synthetic generator (TAL assigner only)."""
     assert assigner in ("tal", "center")
+    if data is not None:
+        assert assigner == "tal", "real datasets require the TAL assigner"
+        num_train = len(data)
+        num_classes = data.num_classes
+        img_size = tuple(data.img_size)
     cfg = YoloConfig(num_classes=num_classes, img_size=tuple(img_size),
                      width_mult=width_mult, depth_mult=depth_mult)
     module = YoloDetector(config=cfg, dtype=compute_dtype)
@@ -475,8 +485,11 @@ def train_yolo(num_classes: int = 11, img_size=(256, 256), epochs: int = 10,
         for s in range(steps):
             idx = order[s * batch_size:(s + 1) * batch_size]
             if assigner == "tal":
-                imgs, gb, gc, gv = make_gt_batch(idx, seed, img_size,
-                                                 num_classes)
+                if data is not None:
+                    imgs, gb, gc, gv = data.gt_batch(idx)
+                else:
+                    imgs, gb, gc, gv = make_gt_batch(idx, seed, img_size,
+                                                     num_classes)
                 params, batch_stats, opt_state, loss, aux = train_step_tal(
                     params, batch_stats, opt_state, jnp.asarray(imgs),
                     jnp.asarray(gb), jnp.asarray(gc), jnp.asarray(gv))
