@@ -153,6 +153,12 @@ class QuantizedUNet:
         return jax.nn.relu(y) if relu else y
 
     def forward(self, x, mode: str = "int8"):
+        if mode == "int8_fused":
+            # int8-resident Pallas stage pairs (requantize in-register);
+            # exact algebra of mode="int8" up to <=1 LSB on skip requants
+            from lanetpu.quant.fused_forward import unet_forward_int8_fused
+
+            return unet_forward_int8_fused(self, x)
         hook = {"fakequant": self._hook_fakequant,
                 "int8": self._hook_int8, "fp": None}[mode]
         return unet_forward_folded(self.folded, x, self.features,
