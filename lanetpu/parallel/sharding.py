@@ -9,10 +9,10 @@ identical to the single-chip one in `lanetpu.train.steps`.
 from __future__ import annotations
 
 import jax
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lanetpu.core.config import TrainConfig
-from lanetpu.parallel.mesh import batch_sharding, replicated
+from lanetpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
 from lanetpu.train.steps import TrainState, make_train_step
 
 
@@ -53,4 +53,34 @@ def make_parallel_predict(predict_fn, mesh: Mesh, spatial: bool = True,
         in_shardings=(data_sh,),
         out_shardings=data_sh,
         donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_parallel_multimodel(pipeline, mesh: Mesh):
+    """Shard the fused three-model serving program over the mesh.
+
+    The whole `MultiModelPipeline._device_fn` (IPM warp + U-Net +
+    ResNet regressor + YOLO + DFL decode in ONE program,
+    `pipeline/multimodel.py`) runs frame-batch data-parallel: frames
+    sharded on `data`, all three models' weights replicated (together
+    <100 MB — far below ZeRO territory), every per-frame output sharded
+    on `data`. XLA inserts no cross-device collectives in steady state —
+    each chip serves its slice of the camera batch, the multichip
+    analogue of the reference running one NPU per vehicle node.
+
+    Returns fn(unet_vars, resnet_vars, yolo_vars, frames_bgr, threshold)
+    -> (mask, points, boxes, scores, cls), all batch-sharded.
+    """
+    rep = replicated(mesh)
+    frames_sh = batch_sharding(mesh, spatial=False)
+    return jax.jit(
+        pipeline._device_fn,
+        in_shardings=(rep, rep, rep, frames_sh, rep),
+        out_shardings=(
+            NamedSharding(mesh, P(DATA_AXIS, None, None)),    # mask
+            NamedSharding(mesh, P(DATA_AXIS, None)),          # points
+            NamedSharding(mesh, P(DATA_AXIS, None, None)),    # boxes
+            NamedSharding(mesh, P(DATA_AXIS, None)),          # scores
+            NamedSharding(mesh, P(DATA_AXIS, None)),          # cls
+        ),
     )

@@ -60,3 +60,43 @@ def test_unet_spatial_sharded_forward_matches():
     out_sharded = np.asarray(fwd(variables, jax.device_put(x, sh)))
     out_single = np.asarray(module.apply(variables, x, train=False))
     np.testing.assert_allclose(out_sharded, out_single, atol=1e-5)
+
+
+def test_multimodel_data_parallel_matches_single():
+    """The fused three-model serving program pjit'ed over the 8-way data
+    mesh (parallel.make_parallel_multimodel) matches the single-device
+    program on every output."""
+    import jax.numpy as jnp
+
+    from lanetpu.core.config import ResNetConfig, YoloConfig
+    from lanetpu.models.resnet import ResNetRegressor
+    from lanetpu.models.yolo import YoloDetector
+    from lanetpu.parallel import make_parallel_multimodel
+    from lanetpu.pipeline.multimodel import MultiModelPipeline
+
+    ycfg = YoloConfig(num_classes=3, img_size=(128, 128), width_mult=0.25,
+                      depth_mult=0.33)
+    pipe = MultiModelPipeline(
+        unet=UNet(config=UNetConfig(features=(4,))),
+        resnet=ResNetRegressor(config=ResNetConfig(depth=18, num_outputs=4)),
+        yolo=YoloDetector(config=ycfg),
+        config=PipelineConfig(compute_dtype="float32"),
+        yolo_config=ycfg, classes=("a", "b", "c"))
+
+    mesh = make_mesh(data=8, spatial=1)
+    par_fn = make_parallel_multimodel(pipe, mesh)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (8, 240, 320, 3), dtype=np.uint8))
+    thr = jnp.float32(0.5)
+    args = (pipe.unet_vars, pipe.resnet_vars, pipe.yolo_vars, frames, thr)
+    single = pipe._jitted(*args)
+    sharded = par_fn(*args)
+    for s, p, name in zip(single, sharded,
+                          ("mask", "points", "boxes", "scores", "cls")):
+        np.testing.assert_allclose(np.asarray(s, np.float32),
+                                   np.asarray(p, np.float32),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+    # the input really was distributed: 8 shards, one per device
+    assert len(sharded[0].sharding.device_set) == 8
