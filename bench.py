@@ -143,8 +143,13 @@ def main():
         # continuously in production.
         k = 60
         t0 = time.perf_counter()
-        outs = [fn(seg.variables, frames, thr) for _ in range(k)]
-        device_sync(outs[-1])
+        out = None
+        for _ in range(k):
+            # keep only the newest output ref: each finished batch frees its
+            # HBM immediately instead of accumulating K live output buffers
+            # (holding all K was what made bs>=384 regress in round 1)
+            out = fn(seg.variables, frames, thr)
+        device_sync(out)
         per_batch = (time.perf_counter() - t0) / k
         fps = bs / per_batch
         log(f"bs={bs}: latency {min(lat)*1e3:.1f} ms | pipelined "

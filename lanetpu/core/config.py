@@ -46,10 +46,22 @@ class UNetConfig:
     # explicit instead of the reference's output-range heuristic
     # (reference src/unet.py:63-64).
     final_sigmoid: bool = False
+    # TPU-first input packing: s2d=2 runs the whole net at half spatial
+    # resolution on 2x2-pixel-packed channels (space_to_depth at entry,
+    # depth_to_space after the head). 1 = reference-parity topology.
+    s2d: int = 1
 
     @staticmethod
     def deployed() -> "UNetConfig":
         return UNetConfig(features=(32, 64, 128))
+
+    @staticmethod
+    def tpu_s2d() -> "UNetConfig":
+        """TPU-optimized topology: deployed widths on 2x2-packed input —
+        4x less activation HBM traffic in the full-res stages, 4x the stem
+        contraction depth. Not graph-parity with the reference; ships as
+        an additional artifact."""
+        return UNetConfig(features=(32, 64, 128), s2d=2)
 
     @staticmethod
     def readme() -> "UNetConfig":
@@ -152,6 +164,7 @@ class TrainConfig:
     in_channels: int = 3
     out_channels: int = 1
     features: tuple = (32, 64, 128)
+    s2d: int = 1  # UNetConfig.s2d (TPU input-packing topology)
 
     # optimization (README.md:1545-1554)
     batch_size: int = 8

@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lanetpu.core.config import UNetConfig
+from lanetpu.ops.space2depth import depth_to_space, space_to_depth
 
 
 class ConvBlock(nn.Module):
@@ -63,6 +64,11 @@ class UNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         cfg = self.config
+        if cfg.s2d > 1:
+            # TPU input packing (ops/space2depth.py): run the whole net at
+            # 1/s2d spatial resolution on pixel-packed channels; the head
+            # emits s2d^2 x out_channels and unpacks to full resolution.
+            x = space_to_depth(x, cfg.s2d)
         skips = []
         # Encoder
         for i, f in enumerate(cfg.features):
@@ -89,8 +95,11 @@ class UNet(nn.Module):
             x = ConvBlock(f, cfg.use_batchnorm, self.dtype, name=f"dec{i}")(x, train)
         # 1x1 head
         x = nn.Conv(
-            cfg.out_channels, kernel_size=(1, 1), dtype=self.dtype, name="head"
+            cfg.out_channels * cfg.s2d * cfg.s2d,
+            kernel_size=(1, 1), dtype=self.dtype, name="head"
         )(x)
+        if cfg.s2d > 1:
+            x = depth_to_space(x, cfg.s2d)
         if cfg.final_sigmoid:
             x = nn.sigmoid(x)
         return x

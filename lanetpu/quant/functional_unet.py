@@ -47,9 +47,15 @@ def conv2d_transpose(x, kernel, bias, stride: int = 2):
 
 def unet_forward_folded(folded: dict, x: jnp.ndarray, features,
                         conv_hook: Callable | None = None,
-                        final_sigmoid: bool = False) -> jnp.ndarray:
+                        final_sigmoid: bool = False,
+                        s2d: int = 1) -> jnp.ndarray:
     """Run the folded UNet. conv_hook(x, kernel, bias, name, relu) -> y
-    overrides plain convs (transpose convs and pools stay fp)."""
+    overrides plain convs (transpose convs and pools stay fp). s2d>1 packs
+    the input / unpacks the head output (UNetConfig.s2d topologies)."""
+    if s2d > 1:
+        from lanetpu.ops.space2depth import space_to_depth
+
+        x = space_to_depth(x, s2d)
     plan = unet_layer_plan(features)
     dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
     skips = {}
@@ -77,6 +83,10 @@ def unet_forward_folded(folded: dict, x: jnp.ndarray, features,
                                  jnp.asarray(p["bias"])).astype(dtype)
         elif kind == "concat":
             x = jnp.concatenate([skips[op[1]], x], axis=-1)
+    if s2d > 1:
+        from lanetpu.ops.space2depth import depth_to_space
+
+        x = depth_to_space(x, s2d)
     if final_sigmoid:
         x = jax.nn.sigmoid(x)
     return x

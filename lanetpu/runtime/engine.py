@@ -158,6 +158,7 @@ def _build_unet(meta: dict):
         out_channels=meta.get("out_channels", 1),
         features=tuple(meta.get("features", (32, 64, 128))),
         final_sigmoid=meta.get("final_sigmoid", False),
+        s2d=meta.get("s2d", 1),
     )
     return UNet(config=cfg)
 

@@ -87,8 +87,9 @@ class LaneSegmenter:
                              for k, v in folded.items()}
                 feats = self.module.config.features
                 sig = self.module.config.final_sigmoid
+                s2d = getattr(self.module.config, "s2d", 1)
                 self.forward_fn = lambda v, x: unet_forward_folded(
-                    v, x, feats, final_sigmoid=sig)
+                    v, x, feats, final_sigmoid=sig, s2d=s2d)
                 self._folded_emits_prob = sig
         self.variables = jax.device_put(variables, self.device)
         # IPM homography, computed once on the host

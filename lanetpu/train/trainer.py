@@ -50,7 +50,8 @@ class Trainer:
     def __init__(self, cfg: TrainConfig | None = None, module=None):
         self.cfg = cfg or TrainConfig()
         self.module = module or UNet(
-            config=UNetConfig(features=tuple(self.cfg.features)))
+            config=UNetConfig(features=tuple(self.cfg.features),
+                              s2d=self.cfg.s2d))
         self.device = jax.devices()[0]
 
         if not self.cfg.synthetic and self.cfg.data_root and os.path.isdir(
@@ -115,6 +116,7 @@ class Trainer:
             "out_channels": mcfg.out_channels,
             "features": list(mcfg.features),
             "final_sigmoid": mcfg.final_sigmoid,
+            "s2d": mcfg.s2d,
         }
 
     def save(self, path: str, extra: dict | None = None):

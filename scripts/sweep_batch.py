@@ -53,8 +53,12 @@ def main():
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            outs = [fn(seg.variables, frames, thr) for _ in range(k)]
-            device_sync(outs[-1])
+            out = None
+            for _ in range(k):
+                # keep only the newest output ref: finished batches free
+                # their HBM immediately instead of accumulating K buffers
+                out = fn(seg.variables, frames, thr)
+            device_sync(out)
             per_batch = (time.perf_counter() - t0) / k
             if best is None or per_batch < best:
                 best = per_batch

@@ -91,3 +91,44 @@ def test_yolo_output_structure():
     for (box, cls), stride in zip(outs, (8, 16, 32)):
         assert box.shape == (1, 128 // stride, 128 // stride, 64)
         assert cls.shape == (1, 128 // stride, 128 // stride, 11)
+
+
+def test_space_to_depth_roundtrip():
+    from lanetpu.ops.space2depth import depth_to_space, space_to_depth
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 3)).astype(np.float32))
+    packed = space_to_depth(x, 2)
+    assert packed.shape == (2, 4, 6, 12)
+    np.testing.assert_array_equal(np.asarray(depth_to_space(packed, 2)),
+                                  np.asarray(x))
+
+
+def test_unet_s2d_topology_shapes():
+    """UNetConfig(s2d=2): same in/out contract as the parity topology, but
+    the whole net runs at half spatial resolution on packed channels."""
+    cfg = UNetConfig(features=(8, 16), s2d=2)
+    model = UNet(config=cfg)
+    x = jnp.ones((2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (2, 32, 32, 1)
+    # head emits s2d^2 channels, unpacked by depth_to_space
+    assert variables["params"]["head"]["kernel"].shape[-1] == 4
+
+
+def test_unet_s2d_folded_forward_parity():
+    """The folded functional forward reproduces the Flax s2d model."""
+    from lanetpu.quant.fold import fold_unet_batchnorm
+    from lanetpu.quant.functional_unet import unet_forward_folded
+
+    cfg = UNetConfig(features=(8, 16), s2d=2)
+    model = UNet(config=cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    folded = fold_unet_batchnorm(jax.device_get(variables), cfg.features)
+    ref = model.apply(variables, x, train=False)
+    ours = unet_forward_folded(folded, x, cfg.features, s2d=2)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
