@@ -8,7 +8,10 @@ This bench feeds raw 480x640 BGR camera frames through the FULL fused device
 pipeline (IPM warp -> BGR->RGB -> 224x224 -> normalize -> U-Net -> sigmoid
 -> threshold -> upscale to the 1055x685 bird's-eye mask) — strictly more
 work per frame than the reference's NPU-only number. The pipeline is the
-MXU fast path: all resampling as matmuls, no gathers.
+MXU fast path: all resampling as matmuls, no gathers. The model is the
+TPU-optimized space-to-depth artifact (UNetConfig.tpu_s2d, trained,
+val-Dice-gated in CI); the reference-parity topology is measured alongside
+and reported as `parity_topology_fps`.
 
 Throughput is measured pipelined (K batches in flight, one sync), the way
 the streaming runner executes; single-batch latency is also reported.
@@ -100,23 +103,53 @@ def h2d_gbps(device, mb: int = 32, reps: int = 4) -> float:
     return reps * mb / 1024 / dt
 
 
+def _make_segmenter(cfg, topology: str):
+    """Build the bench LaneSegmenter.
+
+    topology "s2d": the TPU-optimized space-to-depth artifact
+    (artifacts/lane_unet_s2d, trained, val-Dice-gated in
+    tests/test_artifacts.py) — the production speed path. Falls back to
+    the reference-parity topology if the artifact is absent.
+    topology "parity": the reference-graph topology (UNetConfig.deployed),
+    random weights (weights don't affect throughput).
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    from lanetpu.core.config import UNetConfig
+    from lanetpu.models.unet import UNet
+    from lanetpu.runtime.lane import LaneSegmenter
+
+    if topology == "s2d":
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "artifacts", "lane_unet_s2d", "best_model.ltpu")
+        if os.path.exists(path):
+            from lanetpu.runtime.engine import load_engine
+
+            module, variables, _ = load_engine(path)
+            module = UNet(config=module.config, dtype=jnp.bfloat16)
+            return LaneSegmenter(module=module, variables=variables,
+                                 config=cfg), "s2d-artifact"
+        log("s2d artifact missing; falling back to parity topology")
+    module = UNet(config=UNetConfig.deployed(), dtype=jnp.bfloat16)
+    return LaneSegmenter(module=module, config=cfg), "parity"
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     _enable_compilation_cache()
 
-    from lanetpu.core.config import PipelineConfig, UNetConfig
-    from lanetpu.models.unet import UNet
-    from lanetpu.runtime.lane import LaneSegmenter
+    from lanetpu.core.config import PipelineConfig
     from lanetpu.utils.timing import device_sync
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
     cfg = PipelineConfig(compute_dtype="bfloat16", use_mxu_resample=True)
-    module = UNet(config=UNetConfig.deployed(), dtype=jnp.bfloat16)
-    seg = LaneSegmenter(module=module, config=cfg)
+    seg, model_kind = _make_segmenter(cfg, "s2d")
     fn = seg._get_jitted("warped")
     thr = jnp.float32(0.5)
 
@@ -176,12 +209,34 @@ def main():
     bw = h2d_gbps(seg.device)
     log(f"h2d: {bw:.3f} GB/s (dev-env tunnel-bound; see docs/performance.md)")
 
+    # Secondary: the reference-parity topology on the same pipeline, so the
+    # graph-parity number stays visible next to the speed path.
+    parity_fps = None
+    if model_kind != "parity":
+        pseg, _ = _make_segmenter(cfg, "parity")
+        pfn = pseg._get_jitted("warped")
+        bs = best["batch_size"]
+        frames = jax.device_put(jnp.asarray(
+            rng.integers(0, 256, size=(bs, 480, 640, 3), dtype=np.uint8)),
+            pseg.device)
+        t0 = time.perf_counter()
+        device_sync(pfn(pseg.variables, frames, thr))
+        log(f"parity: first call {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(60):
+            out = pfn(pseg.variables, frames, thr)
+        device_sync(out)
+        parity_fps = bs / ((time.perf_counter() - t0) / 60)
+        log(f"parity topology: {parity_fps:.0f} fps")
+
     baseline_fps = 122.0  # RK3588 NPU INT8, model-only (README.md:4224)
     result = {
         "metric": "224x224 frames/sec/chip (frame->mask->IPM)",
         "value": round(best["fps"], 1),
         "unit": "fps",
         "vs_baseline": round(best["fps"] / baseline_fps, 2),
+        "model": model_kind,
         "batch_size": best["batch_size"],
         "ms_per_batch": round(best["ms_per_batch"], 3),
         "single_batch_latency_ms": round(best["latency_ms"], 2),
@@ -189,6 +244,8 @@ def main():
         "latency_ms_b8": round(latency[8], 2),
         "h2d_gbps": round(bw, 3),
     }
+    if parity_fps is not None:
+        result["parity_topology_fps"] = round(parity_fps, 1)
     print(json.dumps(result))
 
 

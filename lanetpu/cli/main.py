@@ -37,14 +37,11 @@ def _load_segmenter(args):
     cfg = load_config(PipelineConfig, getattr(args, "config", None),
                       getattr(args, "set", []) or [])
     if getattr(args, "model", None):
-        _, variables, meta = load_engine(args.model)
-        module = UNet(
-            config=UNetConfig(
-                in_channels=meta.get("in_channels", 3),
-                out_channels=meta.get("out_channels", 1),
-                features=tuple(meta["features"]),
-                final_sigmoid=meta.get("final_sigmoid", False)),
-            dtype=jnp.dtype(cfg.compute_dtype))
+        # the arch registry rebuilds the module from the self-describing
+        # meta (features, final_sigmoid, s2d, ...); re-instantiate at the
+        # pipeline compute dtype
+        loaded, variables, meta = load_engine(args.model)
+        module = UNet(config=loaded.config, dtype=jnp.dtype(cfg.compute_dtype))
         return LaneSegmenter(module=module, variables=variables, config=cfg)
     module = UNet(config=UNetConfig.deployed(),
                   dtype=jnp.dtype(cfg.compute_dtype))
@@ -151,9 +148,11 @@ def cmd_quantize(args):
     meta, _ = load_checkpoint(args.model)
     method = args.method
     if method == "auto":
-        # folded (BN-fold + layer plan) is the specialized U-Net path;
-        # everything else goes through the generic interception substrate.
-        method = "folded" if meta.get("arch") == "unet" else "generic"
+        # folded (BN-fold + layer plan) is the specialized U-Net path for
+        # the parity topology; s2d topologies and every other arch go
+        # through the generic interception substrate.
+        method = ("folded" if meta.get("arch") == "unet"
+                  and meta.get("s2d", 1) == 1 else "generic")
 
     if method == "generic":
         from lanetpu.quant.pipeline import quantize_checkpoint

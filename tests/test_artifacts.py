@@ -117,6 +117,52 @@ def test_lane_unet_golden_frame_and_int8_parity(lane_segmenter):
     assert iou >= 0.98, iou
 
 
+def test_lane_unet_s2d_artifact(val_batch):
+    """The TPU-optimized space-to-depth topology artifact: same quality
+    gate as the parity model (val Dice >= 0.98) at ~3x its measured
+    throughput (docs/performance.md). load_engine rebuilds the s2d module
+    from the self-describing meta."""
+    from lanetpu.core.config import PipelineConfig
+    from lanetpu.runtime.engine import load_engine
+    from lanetpu.runtime.lane import LaneSegmenter
+
+    module, variables, meta = load_engine(
+        _art("lane_unet_s2d/best_model.ltpu"), backend="cpu")
+    assert meta["s2d"] == 2 and module.config.s2d == 2
+    assert meta["val_dice"] >= 0.98
+    seg = LaneSegmenter(module=module, variables=variables,
+                        config=PipelineConfig(backend="cpu",
+                                              compute_dtype="float32",
+                                              use_mxu_resample=False))
+    imgs, masks = val_batch
+    pred = seg.predict_batch(imgs)
+    p = pred > 127
+    t = masks[..., 0] > 0.5
+    dice = 2 * np.logical_and(p, t).sum() / (p.sum() + t.sum())
+    assert dice >= 0.98, dice
+
+
+def test_lane_unet_s2d_int8_artifact(val_batch):
+    """int8 twin of the s2d artifact (generic substrate): recorded parity
+    is good AND the re-run int8 forward agrees with fp here."""
+    from lanetpu.ops.normalize import normalize_image
+    from lanetpu.runtime.engine import build_apply_fn, load_engine
+
+    module, variables, meta = load_engine(
+        _art("lane_unet_s2d/model_int8.ltpu"), backend="cpu")
+    assert module.config.s2d == 2
+    parity = meta["quant"]["parity"]
+    assert parity["mae_verdict"] == "good" and parity["mae"] < 0.05
+    assert parity["iou_pass"]
+    imgs, _ = val_batch
+    apply_fn = build_apply_fn(module, meta)
+    x = normalize_image(jnp.asarray(imgs[:2]))
+    prob_i8 = np.asarray(jax.nn.sigmoid(apply_fn(variables, x)))
+    prob_fp = np.asarray(jax.nn.sigmoid(
+        module.apply(variables["fp"], x, train=False)))
+    assert np.abs(prob_i8 - prob_fp).mean() < 0.05
+
+
 def test_lane_unet_generic_int8_artifact(val_batch):
     from lanetpu.ops.normalize import normalize_image
     from lanetpu.runtime.engine import build_apply_fn, load_engine
