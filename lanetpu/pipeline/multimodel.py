@@ -87,7 +87,9 @@ class MultiModelPipeline:
                                   "bias": jnp.asarray(v["bias"], jnp.float32)}
                               for k, v in folded.items()}
             feats = self.unet.config.features
-            self._unet_apply = lambda v, x: unet_forward_folded(v, x, feats)
+            s2d = getattr(self.unet.config, "s2d", 1)
+            self._unet_apply = lambda v, x: unet_forward_folded(
+                v, x, feats, s2d=s2d)
         self._resnet_apply = resnet_apply or (
             lambda v, x: self.resnet.apply(v, x, train=False))
         self._yolo_apply = yolo_apply or (
@@ -220,8 +222,11 @@ class MultiModelPipeline:
         for _ in range(warmup):
             device_sync(self._jitted(*args))
         t0 = time.perf_counter()
-        outs = [self._jitted(*args) for _ in range(num_runs)]
-        device_sync(outs[-1])
+        out = None
+        for _ in range(num_runs):
+            # keep-last-ref: finished batches free their HBM immediately
+            out = self._jitted(*args)
+        device_sync(out)
         avg = (time.perf_counter() - t0) / num_runs
         return {"batch_size": batch_size, "avg_ms": avg * 1e3,
                 "fps": batch_size / avg}

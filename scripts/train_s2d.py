@@ -39,14 +39,16 @@ def main():
     from lanetpu.core.config import TrainConfig
     from lanetpu.train.trainer import Trainer
 
-    cfg = TrainConfig(epochs=60, num_train=512, num_val=64, s2d=2,
-                      save_dir="artifacts/lane_unet_s2d")
+    s2d = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    save_dir = sys.argv[2] if len(sys.argv) > 2 else f"artifacts/lane_unet_s2d"
+    cfg = TrainConfig(epochs=60, num_train=512, num_val=64, s2d=s2d,
+                      save_dir=save_dir)
     t0 = time.time()
     result = Trainer(cfg).fit()
-    record("unet_s2d", {"best_dice": result["best_dice"],
-                        "best_epoch": result["best_epoch"],
-                        "epochs_run": len(result["history"]),
-                        "wall_s": round(time.time() - t0, 1)})
+    record(f"unet_s2d{s2d}", {"best_dice": result["best_dice"],
+                              "best_epoch": result["best_epoch"],
+                              "epochs_run": len(result["history"]),
+                              "wall_s": round(time.time() - t0, 1)})
 
 
 if __name__ == "__main__":

@@ -78,3 +78,22 @@ def test_multimodel_from_checkpoints_all_int8():
     assert out["masks"].shape == (1, 685, 1055)
     assert out["points"].shape == (1, 4, 2)
     assert len(out["detections"]) == 1
+
+
+def test_multimodel_with_s2d_unet(rng):
+    """The fused program accepts an s2d-topology U-Net: the BN-folded
+    fast path must apply the space_to_depth packing (regression: it
+    didn't, and enc0 saw 3 channels instead of 12)."""
+    classes = ("a", "b", "c")
+    ycfg = YoloConfig(num_classes=3, img_size=(128, 128), width_mult=0.25,
+                      depth_mult=0.33)
+    pipe = MultiModelPipeline(
+        unet=UNet(config=UNetConfig(features=(4,), s2d=2)),
+        resnet=ResNetRegressor(config=ResNetConfig(depth=18, num_outputs=4)),
+        yolo=YoloDetector(config=ycfg),
+        config=PipelineConfig(compute_dtype="float32"),
+        yolo_config=ycfg, classes=classes)
+    frames = rng.integers(0, 256, (2, 240, 320, 3), dtype=np.uint8)
+    out = pipe.process_batch(frames)
+    ow, oh = pipe.cfg.ipm_output_size
+    assert out["masks"].shape == (2, oh, ow)
