@@ -100,3 +100,24 @@ def test_multimodel_data_parallel_matches_single():
                                    rtol=1e-5, atol=1e-5, err_msg=name)
     # the input really was distributed: 8 shards, one per device
     assert len(sharded[0].sharding.device_set) == 8
+
+
+def test_unet_s2d_spatial_sharded_forward_matches():
+    """The s2d topology under H-axis sharding: the space_to_depth reshape
+    and conv halos must compose under GSPMD and match the unsharded
+    forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    module = UNet(config=UNetConfig(features=(4, 8), s2d=2))
+    x0 = jnp.zeros((2, 64, 64, 3))
+    variables = module.init(jax.random.PRNGKey(0), x0)
+    mesh = make_mesh(data=2, spatial=4)
+    sh = NamedSharding(mesh, P("data", "spatial", None, None))
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    fwd = jax.jit(lambda v, xx: module.apply(v, xx, train=False),
+                  in_shardings=(None, sh), out_shardings=sh)
+    out_sharded = np.asarray(fwd(variables, jax.device_put(x, sh)))
+    out_single = np.asarray(module.apply(variables, x, train=False))
+    np.testing.assert_allclose(out_sharded, out_single, atol=1e-5)
