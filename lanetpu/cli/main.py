@@ -166,6 +166,11 @@ def cmd_quantize(args):
         print(f"quantized model -> {out}")
         return
 
+    if meta.get("s2d", 1) != 1:
+        raise SystemExit(
+            "--method folded supports only the parity topology (s2d=1); "
+            "use --method generic for s2d artifacts")
+
     import jax
     import jax.numpy as jnp
 
