@@ -122,16 +122,19 @@ def _make_segmenter(cfg, topology: str):
     from lanetpu.runtime.lane import LaneSegmenter
 
     if topology == "s2d":
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "artifacts", "lane_unet_s2d", "best_model.ltpu")
-        if os.path.exists(path):
-            from lanetpu.runtime.engine import load_engine
+        root = os.path.dirname(os.path.abspath(__file__))
+        # fastest quality-gated artifact first (gates in tests/test_artifacts.py):
+        # s2d4 (Dice 0.985, 35k fps) > s2d2 (Dice 0.994, 21k fps) > parity
+        for name in ("lane_unet_s2d4", "lane_unet_s2d"):
+            path = os.path.join(root, "artifacts", name, "best_model.ltpu")
+            if os.path.exists(path):
+                from lanetpu.runtime.engine import load_engine
 
-            module, variables, _ = load_engine(path)
-            module = UNet(config=module.config, dtype=jnp.bfloat16)
-            return LaneSegmenter(module=module, variables=variables,
-                                 config=cfg), "s2d-artifact"
-        log("s2d artifact missing; falling back to parity topology")
+                module, variables, _ = load_engine(path)
+                module = UNet(config=module.config, dtype=jnp.bfloat16)
+                return LaneSegmenter(module=module, variables=variables,
+                                     config=cfg), name
+        log("s2d artifacts missing; falling back to parity topology")
     module = UNet(config=UNetConfig.deployed(), dtype=jnp.bfloat16)
     return LaneSegmenter(module=module, config=cfg), "parity"
 

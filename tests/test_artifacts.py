@@ -117,19 +117,26 @@ def test_lane_unet_golden_frame_and_int8_parity(lane_segmenter):
     assert iou >= 0.98, iou
 
 
-def test_lane_unet_s2d_artifact(val_batch):
-    """The TPU-optimized space-to-depth topology artifact: same quality
-    gate as the parity model (val Dice >= 0.98) at ~3x its measured
-    throughput (docs/performance.md). load_engine rebuilds the s2d module
-    from the self-describing meta."""
+@pytest.mark.parametrize("name,s2d,meta_gate,recheck_gate", [
+    # s2d2: 3.0x parity throughput at near-parity quality
+    ("lane_unet_s2d", 2, 0.98, 0.98),
+    # s2d4 (wide): 4.9x parity throughput; measured val Dice 0.9850 —
+    # the recheck gate carries margin for the 8-sample CI split
+    ("lane_unet_s2d4", 4, 0.98, 0.96),
+])
+def test_lane_unet_s2d_artifact(name, s2d, meta_gate, recheck_gate,
+                                val_batch):
+    """The TPU-optimized space-to-depth topology artifacts
+    (docs/performance.md). load_engine rebuilds each s2d module from the
+    self-describing meta."""
     from lanetpu.core.config import PipelineConfig
     from lanetpu.runtime.engine import load_engine
     from lanetpu.runtime.lane import LaneSegmenter
 
     module, variables, meta = load_engine(
-        _art("lane_unet_s2d/best_model.ltpu"), backend="cpu")
-    assert meta["s2d"] == 2 and module.config.s2d == 2
-    assert meta["val_dice"] >= 0.98
+        _art(f"{name}/best_model.ltpu"), backend="cpu")
+    assert meta["s2d"] == s2d and module.config.s2d == s2d
+    assert meta["val_dice"] >= meta_gate
     seg = LaneSegmenter(module=module, variables=variables,
                         config=PipelineConfig(backend="cpu",
                                               compute_dtype="float32",
@@ -139,18 +146,22 @@ def test_lane_unet_s2d_artifact(val_batch):
     p = pred > 127
     t = masks[..., 0] > 0.5
     dice = 2 * np.logical_and(p, t).sum() / (p.sum() + t.sum())
-    assert dice >= 0.98, dice
+    assert dice >= recheck_gate, dice
 
 
-def test_lane_unet_s2d_int8_artifact(val_batch):
-    """int8 twin of the s2d artifact (generic substrate): recorded parity
-    is good AND the re-run int8 forward agrees with fp here."""
+@pytest.mark.parametrize("name,s2d", [
+    ("lane_unet_s2d", 2),
+    ("lane_unet_s2d4", 4),
+])
+def test_lane_unet_s2d_int8_artifact(name, s2d, val_batch):
+    """int8 twins of the s2d artifacts (generic substrate): recorded
+    parity is good AND the re-run int8 forward agrees with fp here."""
     from lanetpu.ops.normalize import normalize_image
     from lanetpu.runtime.engine import build_apply_fn, load_engine
 
     module, variables, meta = load_engine(
-        _art("lane_unet_s2d/model_int8.ltpu"), backend="cpu")
-    assert module.config.s2d == 2
+        _art(f"{name}/model_int8.ltpu"), backend="cpu")
+    assert module.config.s2d == s2d
     parity = meta["quant"]["parity"]
     assert parity["mae_verdict"] == "good" and parity["mae"] < 0.05
     assert parity["iou_pass"]
