@@ -143,9 +143,9 @@ def cmd_extract_frames(args):
 
 
 def cmd_quantize(args):
-    from lanetpu.runtime.engine import load_checkpoint
+    from lanetpu.runtime.engine import load_meta
 
-    meta, _ = load_checkpoint(args.model)
+    meta = load_meta(args.model)
     method = args.method
     if method == "auto":
         # folded (BN-fold + layer plan) is the specialized U-Net path for
@@ -181,28 +181,18 @@ def cmd_quantize(args):
         quantize_unet,
         unet_forward_folded,
     )
+    from lanetpu.quant.pipeline import _lane_batches
     from lanetpu.runtime.engine import load_engine
-    from lanetpu.train.synthetic import calibration_indices, generate_batch
-    from lanetpu.train.augment import preprocess_eval_batch
 
     module, variables, meta = load_engine(args.model)
     features = tuple(meta["features"])
     folded = fold_unet_batchnorm(variables, features)
 
     # scene-quota-stratified calibration set (README.md:3313-3336 parity)
-    # + the bundled real frames (real-capture calibration coverage)
-    idx = calibration_indices(args.calib_images, seed=123)
-    batches = []
-    for i in range(0, len(idx), 8):
-        imgs, masks = generate_batch(idx[i:i + 8], 123)
-        x, _ = preprocess_eval_batch(imgs, masks)
-        batches.append(np.asarray(x))
-    from lanetpu.ops.normalize import normalize_image
-    from lanetpu.quant.pipeline import real_frame_calibration_batch
-
-    real = real_frame_calibration_batch()
-    if real is not None:
-        batches.append(np.asarray(normalize_image(jnp.asarray(real))))
+    # + the bundled real frames — the SAME set the generic path calibrates
+    # on (quant/pipeline._lane_batches), so folded and generic artifacts
+    # never drift apart on calibration data
+    batches = _lane_batches(args.calib_images, seed=123)
     ranges = calibrate_unet(folded, features, batches)
     q = quantize_unet(folded, features, ranges,
                       final_sigmoid=meta.get("final_sigmoid", False))

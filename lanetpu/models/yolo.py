@@ -174,3 +174,18 @@ CLASSES_12 = ("Cola", "Potato", "lajiao", "Milk", "Tomato",
 CLASSES_11 = ("banana", "cake", "cola", "apple", "lajiao", "milk",
               "potato", "tomato", "greenlight", "redlight", "watermelon")
 # reference src/yolo_debug.py:47
+
+
+def yolo_from_meta(meta: dict, classes: tuple | None = None):
+    """(YoloConfig, classes) from a .ltpu artifact's self-describing meta —
+    the ONE place artifact meta maps to detector construction, shared by
+    YoloEngine.from_checkpoint and MultiModelPipeline.from_checkpoints."""
+    nc = meta.get("num_classes", 12)
+    if classes is None:
+        classes = (CLASSES_11 if nc == 11 else CLASSES_12 if nc == 12
+                   else tuple(str(i) for i in range(nc)))
+    cfg = YoloConfig(num_classes=nc,
+                     img_size=tuple(meta.get("img_size", (640, 640))),
+                     width_mult=meta.get("width_mult", 0.25),
+                     depth_mult=meta.get("depth_mult", 0.33))
+    return cfg, classes

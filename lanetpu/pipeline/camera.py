@@ -105,11 +105,15 @@ class CameraSource:
             return False
         self._ring = self._make_ring()
         self._stop.clear()
+        # threads capture their cap/ring as locals and the capture thread
+        # owns the cv2 release: stop() must never release a capture that a
+        # blocked read() may still be using (cv2 is not thread-safe)
         self._threads = [
-            threading.Thread(target=self._capture_loop, daemon=True,
+            threading.Thread(target=self._capture_loop,
+                             args=(self._cap, self._ring), daemon=True,
                              name="camera-capture"),
-            threading.Thread(target=self._publish_loop, daemon=True,
-                             name="camera-publish"),
+            threading.Thread(target=self._publish_loop, args=(self._ring,),
+                             daemon=True, name="camera-publish"),
         ]
         for t in self._threads:
             t.start()
@@ -128,43 +132,47 @@ class CameraSource:
 
     def stop(self):
         self._stop.set()
+        alive = False
         for t in self._threads:
             t.join(timeout=2.0)
+            alive = alive or t.is_alive()
         self._threads = []
-        if self._cap is not None:
-            self._cap.release()
-            self._cap = None
+        self._cap = None  # released by the capture thread on its way out
         if self._ring is not None:
             self.stats["dropped"] = int(getattr(self._ring, "dropped", 0))
-            self._ring.close()
+            if not alive:
+                # a thread stuck in a hung cv2 read() may still touch the
+                # ring: only destroy it once both threads have exited
+                # (daemon threads; leaked ring is reclaimed at process exit)
+                self._ring.close()
             self._ring = None
 
     # -- threads -----------------------------------------------------------
 
-    def _capture_loop(self):
+    def _capture_loop(self, cap, ring):
         period = 1.0 / self.fps_limit if self.fps_limit else 0.0
-        while not self._stop.is_set():
-            t0 = time.perf_counter()
-            ok, frame = self._cap.read()
-            if not ok or frame is None:
-                time.sleep(0.01)
-                continue
-            frame = np.ascontiguousarray(frame, dtype=np.uint8)
-            if frame.shape != self.frame_shape:
-                # keep the ring layout static: center-crop/pad to shape
-                frame = _fit_frame(frame, self.frame_shape)
-            self._ring.push(frame)
-            self.stats["captured"] += 1
-            if period:
-                dt = time.perf_counter() - t0
-                if dt < period:
-                    time.sleep(period - dt)
+        try:
+            while not self._stop.is_set():
+                t0 = time.perf_counter()
+                ok, frame = cap.read()
+                if not ok or frame is None:
+                    time.sleep(0.01)
+                    continue
+                frame = np.ascontiguousarray(frame, dtype=np.uint8)
+                if frame.shape != self.frame_shape:
+                    # keep the ring layout static: center-crop/pad to shape
+                    frame = _fit_frame(frame, self.frame_shape)
+                ring.push(frame)
+                self.stats["captured"] += 1
+                if period:
+                    dt = time.perf_counter() - t0
+                    if dt < period:
+                        time.sleep(period - dt)
+        finally:
+            cap.release()
 
-    def _publish_loop(self):
-        while not self._stop.is_set() or len(self._ring or []) > 0:
-            ring = self._ring
-            if ring is None:
-                break
+    def _publish_loop(self, ring):
+        while not self._stop.is_set() or len(ring) > 0:
             frame = ring.pop()
             if frame is None:
                 time.sleep(0.002)

@@ -48,6 +48,14 @@ class Channel:
         with self._lock:
             self._callbacks.append(callback)
 
+    def unsubscribe(self, callback: Callable) -> None:
+        """Remove a callback added with subscribe (no-op if absent)."""
+        with self._lock:
+            try:
+                self._callbacks.remove(callback)
+            except ValueError:
+                pass
+
     def make_queue(self, maxlen: int | None = None) -> deque:
         """Pull-style subscription: returns a bounded deque fed by publish."""
         q: deque = deque(maxlen=maxlen or self.queue_size)
@@ -58,6 +66,13 @@ class Channel:
     def latest(self) -> Any:
         with self._lock:
             return self._latest
+
+    def latest_with_seq(self) -> tuple:
+        """(latest, seq) read under ONE lock acquisition — consistent pair
+        for freshness checks (separate latest()/.seq reads can interleave
+        with a publish)."""
+        with self._lock:
+            return self._latest, self._seq
 
     def wait_for_message(self, timeout: float | None = None,
                          min_seq: int | None = None) -> Any:

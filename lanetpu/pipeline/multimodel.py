@@ -116,19 +116,13 @@ class MultiModelPipeline:
         (mixed freely): the all-int8 deployment stack is
         from_checkpoints('lane_unet/model_int8.ltpu',
         'points_xcoords_int8.ltpu', 'yolo_synthetic_int8.ltpu')."""
-        from lanetpu.models.yolo import CLASSES_11
+        from lanetpu.models.yolo import yolo_from_meta
         from lanetpu.runtime.engine import build_apply_fn, load_engine
 
         um, uv, umeta = load_engine(unet_path)
         pm, pv, pmeta = load_engine(points_path)
         ym, yv, ymeta = load_engine(yolo_path)
-        nc = ymeta.get("num_classes", 12)
-        classes = (CLASSES_11 if nc == 11 else CLASSES_12 if nc == 12
-                   else tuple(str(i) for i in range(nc)))
-        ycfg = YoloConfig(num_classes=nc,
-                          img_size=tuple(ymeta.get("img_size", (640, 640))),
-                          width_mult=ymeta.get("width_mult", 0.25),
-                          depth_mult=ymeta.get("depth_mult", 0.33))
+        ycfg, classes = yolo_from_meta(ymeta)
         # rebuild the modules at the pipeline compute dtype (the registry
         # builders default to f32; fp stacks should run bf16 on the MXU)
         dtype = jnp.dtype((config or PipelineConfig()).compute_dtype)

@@ -55,8 +55,7 @@ class MultiFrameDetectService:
         whenever the camera ever produced one) but prefer fresh frames."""
         deadline = time.time() + self.stale_retry_s
         while True:
-            frame = self.image_ch.latest()
-            seq = self.image_ch.seq
+            frame, seq = self.image_ch.latest_with_seq()
             if frame is not None and seq != last_seq:
                 return frame, seq
             if time.time() >= deadline:

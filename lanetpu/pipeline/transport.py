@@ -116,6 +116,7 @@ class BusServer:
         self._srv: socket.socket | None = None
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
+        self._threads_lock = threading.Lock()
 
     def start(self) -> "BusServer":
         self._srv = socket.create_server((self.host, self.port))
@@ -135,11 +136,12 @@ class BusServer:
             t = threading.Thread(target=self._client_loop, args=(conn,),
                                  daemon=True)
             t.start()
-            self._threads.append(t)
+            with self._threads_lock:
+                self._threads.append(t)
 
     def _client_loop(self, conn: socket.socket):
         send_lock = threading.Lock()
-        subscribed: set[str] = set()
+        subscriptions: dict[str, Callable] = {}
         try:
             while not self._stop.is_set():
                 kind, payload = _recv_frame(conn)
@@ -151,18 +153,23 @@ class BusServer:
                 elif kind == b"J":
                     msg = json.loads(payload.decode())
                     op = msg.get("op")
-                    if op == "sub" and msg["topic"] not in subscribed:
+                    if op == "sub" and msg["topic"] not in subscriptions:
                         topic = msg["topic"]
-                        subscribed.add(topic)
-                        self.bus.channel(topic).subscribe(
-                            lambda m, t=topic: self._forward(
-                                conn, send_lock, t, m))
+                        cb = lambda m, t=topic: self._forward(  # noqa: E731
+                            conn, send_lock, t, m)
+                        subscriptions[topic] = cb
+                        self.bus.channel(topic).subscribe(cb)
                     elif op == "pub":
                         self.bus.channel(msg["topic"]).publish(msg["data"])
         except (OSError, ValueError):
             return
         finally:
+            # tear down this client's forwards: a crash-looping subscriber
+            # must not leave dead-socket callbacks on hot topics
+            for topic, cb in subscriptions.items():
+                self.bus.channel(topic).unsubscribe(cb)
             conn.close()
+            self._threads_prune()
 
     def _forward(self, conn, lock, topic, msg):
         try:
@@ -170,11 +177,19 @@ class BusServer:
         except OSError:
             pass  # client gone; its reader loop will clean up
 
+    def _threads_prune(self):
+        """Drop finished client threads so long-lived servers with
+        reconnecting clients don't grow the thread list unboundedly."""
+        with self._threads_lock:
+            self._threads = [t for t in self._threads if t.is_alive()]
+
     def stop(self):
         self._stop.set()
         if self._srv is not None:
             self._srv.close()
-        for t in self._threads:
+        with self._threads_lock:
+            threads = list(self._threads)
+        for t in threads:
             t.join(timeout=1.0)
 
 

@@ -98,6 +98,15 @@ def q_interpret(q) -> bool:
     return bool(getattr(q, "_interpret", False))
 
 
+def _required_names(q) -> list:
+    """Every conv layer the fused forward needs qparams for — shared by
+    unet_forward_int8_fused and supports_fused so they can never drift."""
+    n = len(q.features)
+    return ([f"enc{i}.conv{k}" for i in range(n) for k in (0, 1)]
+            + ["bottleneck.conv0", "bottleneck.conv1", "head"]
+            + [f"dec{i}.conv{k}" for i in range(n) for k in (0, 1)])
+
+
 def unet_forward_int8_fused(q, x, final_sigmoid: bool | None = None):
     """QuantizedUNet `q`, f32/bf16 input `x` -> f32 output.
 
@@ -105,10 +114,7 @@ def unet_forward_int8_fused(q, x, final_sigmoid: bool | None = None):
     fallback layers) — callers check `supports_fused(q)`.
     """
     n = len(q.features)
-    names = ([f"enc{i}.conv{k}" for i in range(n) for k in (0, 1)]
-             + ["bottleneck.conv0", "bottleneck.conv1", "head"]
-             + [f"dec{i}.conv{k}" for i in range(n) for k in (0, 1)])
-    missing = [nm for nm in names if nm not in q.act_qp]
+    missing = [nm for nm in _required_names(q) if nm not in q.act_qp]
     if missing:
         raise ValueError(f"fused int8 forward needs qparams for {missing}")
 
@@ -150,8 +156,4 @@ def unet_forward_int8_fused(q, x, final_sigmoid: bool | None = None):
 
 
 def supports_fused(q) -> bool:
-    n = len(q.features)
-    names = ([f"enc{i}.conv{k}" for i in range(n) for k in (0, 1)]
-             + ["bottleneck.conv0", "bottleneck.conv1", "head"]
-             + [f"dec{i}.conv{k}" for i in range(n) for k in (0, 1)])
-    return all(nm in q.act_qp for nm in names)
+    return all(nm in q.act_qp for nm in _required_names(q))

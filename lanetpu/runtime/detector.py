@@ -52,19 +52,11 @@ class YoloEngine:
     def from_checkpoint(cls, path: str, classes: Sequence[str] | None = None,
                         **kwargs):
         """Build from a .ltpu artifact (fp32 or int8-quantized)."""
+        from lanetpu.models.yolo import yolo_from_meta
         from lanetpu.runtime.engine import build_apply_fn, load_engine
 
         module, variables, meta = load_engine(path)
-        nc = meta.get("num_classes", 12)
-        if classes is None:
-            from lanetpu.models.yolo import CLASSES_11
-
-            classes = (CLASSES_11 if nc == 11 else CLASSES_12 if nc == 12
-                       else tuple(str(i) for i in range(nc)))
-        cfg = YoloConfig(num_classes=nc,
-                         img_size=tuple(meta.get("img_size", (640, 640))),
-                         width_mult=meta.get("width_mult", 0.25),
-                         depth_mult=meta.get("depth_mult", 0.33))
+        cfg, classes = yolo_from_meta(meta, classes)
         return cls(module=module, variables=variables, config=cfg,
                    classes=classes, apply_fn=build_apply_fn(module, meta),
                    **kwargs)

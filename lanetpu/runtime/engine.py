@@ -57,6 +57,17 @@ def save_checkpoint(path: str, variables: dict, meta: dict) -> None:
         f.write(payload)
 
 
+def load_meta(path: str) -> dict:
+    """Read ONLY the JSON header of an artifact — no variable
+    deserialization (dispatch decisions shouldn't pay a full model load)."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != MAGIC:
+            raise ValueError(f"{path}: not a lanetpu checkpoint")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        return json.loads(f.read(hlen).decode("utf-8"))
+
+
 def load_checkpoint(path: str, template: dict | None = None):
     """Read (meta, variables) from a model artifact."""
     with open(path, "rb") as f:

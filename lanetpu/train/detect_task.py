@@ -189,7 +189,7 @@ def make_gt_batch(indices, seed, img_size, num_classes, max_objects: int = 8):
     for i in indices:
         img, boxes, classes = render_detection_sample(
             i, seed, img_size, num_classes)
-        m = len(boxes)
+        m = min(len(boxes), max_objects)
         gb = np.zeros((max_objects, 4), np.float32)
         gc = np.zeros(max_objects, np.int32)
         gv = np.zeros(max_objects, np.float32)

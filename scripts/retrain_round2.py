@@ -94,27 +94,15 @@ def stage_quant_unet():
     from lanetpu.quant import (
         calibrate_unet, fold_unet_batchnorm, parity_report, quantize_unet,
         unet_forward_folded)
-    from lanetpu.quant.pipeline import quantize_checkpoint
+    from lanetpu.quant.pipeline import _lane_batches, quantize_checkpoint
     from lanetpu.runtime.engine import load_engine
-    from lanetpu.train.augment import preprocess_eval_batch
-    from lanetpu.train.synthetic import calibration_indices, generate_batch
 
     model = "artifacts/lane_unet/best_model.ltpu"
     _, variables, meta = load_engine(model)
     features = tuple(meta["features"])
     folded = fold_unet_batchnorm(variables, features)
-    idx = calibration_indices(100, seed=123)
-    batches = []
-    for i in range(0, len(idx), 8):
-        imgs, masks = generate_batch(idx[i:i + 8], 123)
-        x, _ = preprocess_eval_batch(imgs, masks)
-        batches.append(np.asarray(x))
-    from lanetpu.ops.normalize import normalize_image
-    from lanetpu.quant.pipeline import real_frame_calibration_batch
-
-    real = real_frame_calibration_batch()
-    if real is not None:
-        batches.append(np.asarray(normalize_image(jnp.asarray(real))))
+    # same calibration set as cli quantize / the generic path
+    batches = _lane_batches(100, seed=123)
     ranges = calibrate_unet(folded, features, batches)
     q = quantize_unet(folded, features, ranges,
                       final_sigmoid=meta.get("final_sigmoid", False))

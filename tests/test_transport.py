@@ -93,3 +93,18 @@ def test_server_survives_client_disconnect(server):
     rb2.publish("/mask", np.ones((2, 2), np.uint8))
     assert _wait(lambda: server.bus.channel("/mask").seq >= 2)
     rb2.close()
+
+
+def test_disconnect_removes_subscriptions(server):
+    """A disconnected client's forward callbacks must be unsubscribed —
+    crash-looping subscribers must not accumulate dead-socket callbacks
+    on hot topics (and the client-thread list must not grow forever)."""
+    ch = server.bus.channel("/hot")
+    for _ in range(3):
+        rb = RemoteBus(port=server.port)
+        rb.subscribe("/hot")
+        assert _wait(lambda: len(ch._callbacks) >= 1)
+        rb.close()
+        assert _wait(lambda: len(ch._callbacks) == 0), ch._callbacks
+    server._threads_prune()
+    assert sum(t.is_alive() for t in server._threads) <= 1  # accept loop
