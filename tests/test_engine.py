@@ -99,3 +99,24 @@ def test_stopwatch_stages():
     s = sw.summary()
     assert s["a"]["count"] == 2
     assert s["a"]["mean_ms"] >= 5.0
+
+
+def test_load_meta_header_only(tmp_path):
+    """load_meta reads the JSON header without touching the payload and
+    matches load_checkpoint's meta."""
+    import numpy as np
+
+    from lanetpu.runtime.engine import (load_checkpoint, load_meta,
+                                        save_checkpoint)
+
+    path = str(tmp_path / "m.ltpu")
+    save_checkpoint(path, {"params": {"w": np.zeros((4, 4), np.float32)}},
+                    {"arch": "unet", "features": [8], "s2d": 2})
+    meta = load_meta(path)
+    assert meta == load_checkpoint(path)[0]
+    assert meta["s2d"] == 2
+    with open(str(tmp_path / "bad.ltpu"), "wb") as f:
+        f.write(b"nope")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        load_meta(str(tmp_path / "bad.ltpu"))
