@@ -215,6 +215,7 @@ def test_lane_unet_scene_table_recorded():
 
 @pytest.mark.parametrize("name,mode,gate", [
     ("points_xcoords.ltpu", "xcoords", 0.05),
+    ("points_xcoords_r18.ltpu", "xcoords", 0.05),  # TPU-economical tier
     ("points_centerline.ltpu", "centerline", 0.05),
 ])
 def test_points_artifacts_val_mae(name, mode, gate, val_batch):
