@@ -238,6 +238,7 @@ def test_points_artifacts_val_mae(name, mode, gate, val_batch):
 
 
 @pytest.mark.parametrize("name", ["points_xcoords_int8.ltpu",
+                                  "points_xcoords_r18_int8.ltpu",
                                   "points_centerline_int8.ltpu"])
 def test_points_int8_artifacts(name, val_batch):
     from lanetpu.runtime.engine import load_checkpoint
