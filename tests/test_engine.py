@@ -104,10 +104,7 @@ def test_stopwatch_stages():
 def test_load_meta_header_only(tmp_path):
     """load_meta reads the JSON header without touching the payload and
     matches load_checkpoint's meta."""
-    import numpy as np
-
-    from lanetpu.runtime.engine import (load_checkpoint, load_meta,
-                                        save_checkpoint)
+    from lanetpu.runtime.engine import load_meta
 
     path = str(tmp_path / "m.ltpu")
     save_checkpoint(path, {"params": {"w": np.zeros((4, 4), np.float32)}},
@@ -117,6 +114,5 @@ def test_load_meta_header_only(tmp_path):
     assert meta["s2d"] == 2
     with open(str(tmp_path / "bad.ltpu"), "wb") as f:
         f.write(b"nope")
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         load_meta(str(tmp_path / "bad.ltpu"))
