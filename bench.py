@@ -76,9 +76,11 @@ def chained_latency_ms(fn, variables, frames, thr, device_sync,
 
     chain(2)  # warm the eager-op caches on the chain path
     # short chains: longer ones become host-submission-bound on the
-    # tunneled dev environment and overestimate device latency
-    t1 = min(chain(n1) for _ in range(3))
-    t2 = min(chain(n2) for _ in range(3))
+    # tunneled dev environment and overestimate device latency. Min over
+    # several repetitions: tunnel jitter only ever ADDS time, so the min
+    # is the right noise-floor estimator (b8 varied 1.3-7.3 ms at 3 reps).
+    t1 = min(chain(n1) for _ in range(6))
+    t2 = min(chain(n2) for _ in range(6))
     return max((t2 - t1) / (n2 - n1), 0.0) * 1e3
 
 
