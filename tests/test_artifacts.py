@@ -217,6 +217,7 @@ def test_lane_unet_scene_table_recorded():
     ("points_xcoords.ltpu", "xcoords", 0.05),
     ("points_xcoords_r18.ltpu", "xcoords", 0.05),  # TPU-economical tier
     ("points_centerline.ltpu", "centerline", 0.05),
+    ("points_centerline_r18.ltpu", "centerline", 0.05),
 ])
 def test_points_artifacts_val_mae(name, mode, gate, val_batch):
     from lanetpu.runtime.points import LanePointsRegressor
@@ -239,7 +240,8 @@ def test_points_artifacts_val_mae(name, mode, gate, val_batch):
 
 @pytest.mark.parametrize("name", ["points_xcoords_int8.ltpu",
                                   "points_xcoords_r18_int8.ltpu",
-                                  "points_centerline_int8.ltpu"])
+                                  "points_centerline_int8.ltpu",
+                                  "points_centerline_r18_int8.ltpu"])
 def test_points_int8_artifacts(name, val_batch):
     from lanetpu.runtime.engine import load_checkpoint
     from lanetpu.runtime.points import LanePointsRegressor
