@@ -181,7 +181,7 @@ def cmd_quantize(args):
         quantize_unet,
         unet_forward_folded,
     )
-    from lanetpu.quant.pipeline import _lane_batches
+    from lanetpu.quant.pipeline import lane_batches
     from lanetpu.runtime.engine import load_engine
 
     module, variables, meta = load_engine(args.model)
@@ -190,9 +190,9 @@ def cmd_quantize(args):
 
     # scene-quota-stratified calibration set (README.md:3313-3336 parity)
     # + the bundled real frames — the SAME set the generic path calibrates
-    # on (quant/pipeline._lane_batches), so folded and generic artifacts
+    # on (quant/pipeline.lane_batches), so folded and generic artifacts
     # never drift apart on calibration data
-    batches = _lane_batches(args.calib_images, seed=123)
+    batches = lane_batches(args.calib_images, seed=123)
     ranges = calibrate_unet(folded, features, batches)
     q = quantize_unet(folded, features, ranges,
                       final_sigmoid=meta.get("final_sigmoid", False))

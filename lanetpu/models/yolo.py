@@ -182,8 +182,13 @@ def yolo_from_meta(meta: dict, classes: tuple | None = None):
     YoloEngine.from_checkpoint and MultiModelPipeline.from_checkpoints."""
     nc = meta.get("num_classes", 12)
     if classes is None:
-        classes = (CLASSES_11 if nc == 11 else CLASSES_12 if nc == 12
-                   else tuple(str(i) for i in range(nc)))
+        if meta.get("classes"):
+            # Artifact carries its own class names (real-dataset training);
+            # never guess from the count in that case.
+            classes = tuple(meta["classes"])
+        else:
+            classes = (CLASSES_11 if nc == 11 else CLASSES_12 if nc == 12
+                       else tuple(str(i) for i in range(nc)))
     cfg = YoloConfig(num_classes=nc,
                      img_size=tuple(meta.get("img_size", (640, 640))),
                      width_mult=meta.get("width_mult", 0.25),

@@ -61,11 +61,12 @@ def real_frame_calibration_batch(image_size=(224, 224)) -> np.ndarray | None:
     return np.stack(frames) if frames else None
 
 
-def _lane_batches(n: int, seed: int, batch: int = 8, image_size=(224, 224),
-                  offset: int = 0, include_real: bool = True):
+def lane_batches(n: int, seed: int, batch: int = 8, image_size=(224, 224),
+                 offset: int = 0, include_real: bool = True):
     """Scene-quota-stratified synthetic lane images + the bundled real
     frames, normalized (the exact tensors the U-Net / point regressors
-    see)."""
+    see). The shared calibration-set contract between the folded and the
+    generic quantization paths (and the CLI / retrain scripts)."""
     from lanetpu.ops.normalize import normalize_image
     from lanetpu.train.synthetic import calibration_indices, generate_batch
 
@@ -80,6 +81,9 @@ def _lane_batches(n: int, seed: int, batch: int = 8, image_size=(224, 224),
         if real is not None:
             out.append(np.asarray(normalize_image(jnp.asarray(real))))
     return out
+
+
+_lane_batches = lane_batches  # back-compat alias for the old private name
 
 
 def _detect_batches(n: int, seed: int, num_classes: int, img_size,
@@ -117,11 +121,11 @@ def quantize_checkpoint(model_path: str, output_path: str,
     arch = meta.get("arch")
 
     if arch == "unet":
-        calib = _lane_batches(calib_images, seed)
-        val = _lane_batches(val_images, seed + 1, offset=val_offset)
+        calib = lane_batches(calib_images, seed)
+        val = lane_batches(val_images, seed + 1, offset=val_offset)
     elif arch == "resnet_regressor":
-        calib = _lane_batches(calib_images, seed)
-        val = _lane_batches(val_images, seed + 1, offset=val_offset)
+        calib = lane_batches(calib_images, seed)
+        val = lane_batches(val_images, seed + 1, offset=val_offset)
     elif arch == "yolo":
         nc = meta.get("num_classes", 12)
         img_size = tuple(meta.get("img_size", (640, 640)))

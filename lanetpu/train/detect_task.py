@@ -508,10 +508,14 @@ def train_yolo(num_classes: int = 11, img_size=(256, 256), epochs: int = 10,
 
     if save_path:
         os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        meta = {"arch": "yolo", "num_classes": num_classes,
+                "width_mult": width_mult, "depth_mult": depth_mult,
+                "img_size": list(img_size)}
+        if data is not None and getattr(data, "class_names", None):
+            # Real-dataset class names ride the artifact so load-time label
+            # strings don't fall back to the count-matched synthetic tuples.
+            meta["classes"] = list(data.class_names)
         save_checkpoint(save_path,
-                        {"params": params, "batch_stats": batch_stats},
-                        {"arch": "yolo", "num_classes": num_classes,
-                         "width_mult": width_mult, "depth_mult": depth_mult,
-                         "img_size": list(img_size)})
+                        {"params": params, "batch_stats": batch_stats}, meta)
     return {"history": history, "params": params, "batch_stats": batch_stats,
             "module": module, "config": cfg}

@@ -210,6 +210,7 @@ class CocoDetectionDataset:
     # filled by __post_init__
     image_ids: list = field(default_factory=list, init=False)
     class_names: list = field(default_factory=list, init=False)
+    truncated_images: int = field(default=0, init=False)
 
     def __post_init__(self):
         with open(self.annotation_file) as f:
@@ -271,11 +272,26 @@ class CocoDetectionDataset:
 
     def gt_batch(self, indices):
         """Padded ground truth for `train_step_tal` — same contract as
-        `detect_task.make_gt_batch`."""
+        `detect_task.make_gt_batch`.
+
+        Annotations beyond ``max_objects`` are dropped; the first time that
+        happens a warning is emitted and ``self.truncated_images`` counts
+        affected loads thereafter (real COCO images often exceed 8 objects —
+        raise ``max_objects`` rather than silently training on partial GT).
+        """
         imgs, bs, cs, vs = [], [], [], []
         for i in indices:
             img, boxes, classes = self._load_sample(self.image_ids[int(i)])
             m = min(len(boxes), self.max_objects)
+            if len(boxes) > self.max_objects:
+                if self.truncated_images == 0:
+                    import warnings
+                    warnings.warn(
+                        f"CocoDetectionDataset: image has {len(boxes)} "
+                        f"annotations but max_objects={self.max_objects}; "
+                        "excess ground truth is dropped from TAL training "
+                        "(raise max_objects to keep it)", stacklevel=2)
+                self.truncated_images += 1
             gb = np.zeros((self.max_objects, 4), np.float32)
             gc = np.zeros(self.max_objects, np.int32)
             gv = np.zeros(self.max_objects, np.float32)

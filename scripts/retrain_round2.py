@@ -94,7 +94,7 @@ def stage_quant_unet():
     from lanetpu.quant import (
         calibrate_unet, fold_unet_batchnorm, parity_report, quantize_unet,
         unet_forward_folded)
-    from lanetpu.quant.pipeline import _lane_batches, quantize_checkpoint
+    from lanetpu.quant.pipeline import lane_batches, quantize_checkpoint
     from lanetpu.runtime.engine import load_engine
 
     model = "artifacts/lane_unet/best_model.ltpu"
@@ -102,7 +102,7 @@ def stage_quant_unet():
     features = tuple(meta["features"])
     folded = fold_unet_batchnorm(variables, features)
     # same calibration set as cli quantize / the generic path
-    batches = _lane_batches(100, seed=123)
+    batches = lane_batches(100, seed=123)
     ranges = calibrate_unet(folded, features, batches)
     q = quantize_unet(folded, features, ranges,
                       final_sigmoid=meta.get("final_sigmoid", False))

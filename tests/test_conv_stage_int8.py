@@ -129,7 +129,11 @@ def quantized_unet():
 
 
 def test_fused_forward_tracks_unfused(quantized_unet):
-    q = quantized_unet
+    import copy
+
+    # Function-scoped copy: mutating _interpret on the module-scoped fixture
+    # would leak interpret mode into other tests sharing it.
+    q = copy.copy(quantized_unet)
     q._interpret = True
     rng = np.random.default_rng(2)
     x = rng.normal(0, 1, (2, 32, 32, 3)).astype(np.float32)

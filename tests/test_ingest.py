@@ -197,3 +197,44 @@ def test_coco_train_yolo_smoke(tmp_path):
     assert len(result["history"]) == 2
     assert result["config"].num_classes == 2
     assert np.isfinite(result["history"][-1]["loss"])
+
+
+def test_coco_train_saves_class_names(tmp_path):
+    """A real-dataset checkpoint must carry its class names so load-time
+    labels don't fall back to the count-matched synthetic tuples
+    (ADVICE r2: silent relabeling at 11/12 classes)."""
+    from lanetpu.models.yolo import yolo_from_meta
+    from lanetpu.runtime.engine import load_meta
+    from lanetpu.train.detect_task import train_yolo
+
+    ann, img_dir = _write_coco(tmp_path)
+    ds = CocoDetectionDataset(ann, img_dir, img_size=(64, 64))
+    ckpt = str(tmp_path / "yolo_real.ltpu")
+    train_yolo(epochs=1, batch_size=2, compute_dtype=np.float32,
+               verbose=False, data=ds, save_path=ckpt)
+    meta = load_meta(ckpt)
+    assert meta["classes"] == ["cone", "sign"]
+    _, classes = yolo_from_meta(meta)
+    assert classes == ("cone", "sign")
+    # explicit override still wins
+    _, classes = yolo_from_meta(meta, classes=("x", "y"))
+    assert classes == ("x", "y")
+    # without stored names, count-based fallback is unchanged
+    _, classes = yolo_from_meta({"num_classes": 3})
+    assert classes == ("0", "1", "2")
+
+
+def test_coco_gt_batch_warns_on_truncation(tmp_path):
+    """Dropping annotations beyond max_objects must be visible
+    (ADVICE r2: silent GT loss on real COCO images)."""
+    import warnings
+
+    ann, img_dir = _write_coco(tmp_path)
+    ds = CocoDetectionDataset(ann, img_dir, img_size=(64, 64),
+                              max_objects=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        imgs, gb, gc, gv = ds.gt_batch([0])
+    assert any("max_objects" in str(x.message) for x in w)
+    assert ds.truncated_images == 1
+    assert gv[0].sum() == 1  # kept only the first box
