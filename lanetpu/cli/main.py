@@ -142,6 +142,48 @@ def cmd_extract_frames(args):
     print(json.dumps({"frames_written": n, "out_dir": args.output}))
 
 
+def cmd_eval_real(args):
+    """Real-frame validation against the reference's published outputs
+    (eval.real): demo-mask IoU, photometric-condition stability, IPM check."""
+    from lanetpu.core.config import PipelineConfig
+    from lanetpu.eval import real
+    from lanetpu.runtime.engine import build_apply_fn, load_engine
+    from lanetpu.runtime.lane import LaneSegmenter
+
+    if not real.assets_present():
+        raise SystemExit("reference demo assets not mounted")
+    module, variables, meta = load_engine(args.model, backend=args.backend)
+    kwargs = {}
+    if "quant" in meta:
+        kwargs["forward_fn"] = build_apply_fn(module, meta)
+    seg = LaneSegmenter(module=module, variables=variables,
+                        config=PipelineConfig(backend=args.backend,
+                                              compute_dtype="float32"),
+                        **kwargs)
+    out = {"demo": real.reference_demo_score(seg),
+           "birdseye": real.birdseye_frame_scores(seg),
+           "golden_warped": real.golden_warped_score(seg),
+           "ipm_warp": real.ipm_warp_score()}
+    if args.conditions:
+        out["conditions"] = real.condition_stability_score(seg)
+    print(json.dumps(out))
+
+
+def cmd_deploy(args):
+    import os
+
+    from lanetpu.runtime.engine import make_deploy_artifact
+
+    out = args.output or args.model.replace(".ltpu", "") + "_deploy.ltpu"
+    meta = make_deploy_artifact(args.model, out)
+    print(json.dumps({
+        "output": out,
+        "src_bytes": os.path.getsize(args.model),
+        "deploy_bytes": os.path.getsize(out),
+        "parity": meta.get("quant", {}).get("parity"),
+    }))
+
+
 def cmd_quantize(args):
     from lanetpu.runtime.engine import load_meta
 
@@ -159,12 +201,19 @@ def cmd_quantize(args):
 
         out = args.output
         if out == "model_int8.pkl":  # legacy default name is unet-specific
-            out = args.model.replace(".ltpu", "") + "_int8.ltpu"
+            suffix = "_int8_deploy" if args.deploy else "_int8"
+            out = args.model.replace(".ltpu", "") + suffix + ".ltpu"
         rep = quantize_checkpoint(args.model, out,
-                                  calib_images=args.calib_images)
+                                  calib_images=args.calib_images,
+                                  deploy=args.deploy,
+                                  calib_method=args.calib_method)
         print(json.dumps(rep))
         print(f"quantized model -> {out}")
         return
+
+    if args.deploy:
+        raise SystemExit("--deploy requires the generic method "
+                         "(the folded path writes a .pkl, not a .ltpu)")
 
     if meta.get("s2d", 1) != 1:
         raise SystemExit(
@@ -193,7 +242,8 @@ def cmd_quantize(args):
     # on (quant/pipeline.lane_batches), so folded and generic artifacts
     # never drift apart on calibration data
     batches = lane_batches(args.calib_images, seed=123)
-    ranges = calibrate_unet(folded, features, batches)
+    ranges = calibrate_unet(folded, features, batches,
+                            method=args.calib_method)
     q = quantize_unet(folded, features, ranges,
                       final_sigmoid=meta.get("final_sigmoid", False))
 
@@ -428,7 +478,32 @@ def build_parser():
                     help="folded = BN-fold U-Net path (pkl); generic = "
                          "interception substrate, any arch (int8 .ltpu)")
     sp.add_argument("-o", "--output", default="model_int8.pkl")
+    sp.add_argument("--deploy", action="store_true",
+                    help="write the deploy tier: strip fp weights of "
+                         "quantized layers + compress (generic method only)")
+    sp.add_argument("--calib-method", choices=["percentile", "mmse"],
+                    default="percentile",
+                    help="activation range search: percentile clipping or "
+                         "quantize-dequantize MSE minimization (the "
+                         "reference's quantized_algorithm normal/mmse)")
     sp.set_defaults(fn=cmd_quantize)
+
+    sp = sub.add_parser("eval-real",
+                        help="score a lane model on the reference's own "
+                             "published real frame + mask")
+    sp.add_argument("model")
+    sp.add_argument("--backend", default="tpu")
+    sp.add_argument("--conditions", action="store_true",
+                    help="also run the photometric-condition stability table")
+    sp.set_defaults(fn=cmd_eval_real)
+
+    sp = sub.add_parser("deploy",
+                        help="strip+compress an existing int8 .ltpu into "
+                             "its deploy tier (no recalibration)")
+    sp.add_argument("model")
+    sp.add_argument("-o", "--output", default=None,
+                    help="default: <model>_deploy.ltpu")
+    sp.set_defaults(fn=cmd_deploy)
 
     sp = sub.add_parser("eval", help="mask quality metrics")
     sp.add_argument("pred")

@@ -18,6 +18,70 @@ from collections import defaultdict
 import numpy as np
 
 
+def rle_encode(mask) -> dict:
+    """Binary mask -> COCO compressed RLE, byte-identical to
+    pycocotools.mask.encode with a utf-8 decoded counts string (the record
+    shape the reference exports, src/py_utils/coco_utils.py:152-170).
+
+    Column-major (Fortran) scan; runs alternate background/foreground
+    starting with background; counts beyond the third are delta-encoded
+    against counts[i-2] and packed 5 bits per ascii char (chars 48-111,
+    0x20 continuation, sign-extension on 0x10) — the pycocotools
+    rleToString scheme."""
+    m = np.asarray(mask)
+    h, w = m.shape
+    flat = (m.reshape(h * w, order="F") != 0).astype(np.int8)
+    if flat.size:
+        change = np.flatnonzero(np.diff(flat)) + 1
+        runs = np.diff(np.concatenate([[0], change, [flat.size]]))
+        counts = [int(c) for c in runs]
+        if flat[0] == 1:
+            counts = [0] + counts
+    else:
+        counts = [0]
+    out = []
+    for i, c in enumerate(counts):
+        x = c - counts[i - 2] if i > 2 else c
+        more = True
+        while more:
+            ch = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (ch & 0x10) else (x != 0)
+            if more:
+                ch |= 0x20
+            out.append(chr(ch + 48))
+    return {"size": [int(h), int(w)], "counts": "".join(out)}
+
+
+def rle_decode(rle: dict) -> np.ndarray:
+    """COCO compressed RLE -> binary uint8 mask (pycocotools
+    rleFrString + rleDecode semantics)."""
+    s = rle["counts"]
+    counts: list[int] = []
+    i = 0
+    while i < len(s):
+        x, k, more = 0, 0, True
+        while more:
+            c = ord(s[i]) - 48
+            x |= (c & 0x1F) << k
+            more = bool(c & 0x20)
+            i += 1
+            if not more and (c & 0x10):
+                x |= -1 << (k + 5)
+            k += 5
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    h, w = rle["size"]
+    flat = np.zeros(h * w, np.uint8)
+    pos, val = 0, 0
+    for c in counts:
+        flat[pos:pos + c] = val
+        pos += c
+        val ^= 1
+    return flat.reshape((h, w), order="F")
+
+
 class DetectionRecorder:
     """Accumulates detections + ground truth; exports JSON; evaluates mAP."""
 
@@ -25,15 +89,22 @@ class DetectionRecorder:
         self.detections: list[dict] = []
         self.ground_truth: list[dict] = []
 
-    def add_detection(self, image_id, category_id, bbox_xyxy, score):
+    def add_detection(self, image_id, category_id, bbox_xyxy, score,
+                      mask=None):
+        """`mask`: optional [H, W] binary instance mask; recorded as a COCO
+        compressed-RLE `segmentation` entry, matching the reference's
+        record shape (src/py_utils/coco_utils.py:157-175)."""
         x1, y1, x2, y2 = [float(v) for v in bbox_xyxy]
-        self.detections.append({
+        rec = {
             "image_id": image_id,
             "category_id": int(category_id),
             "bbox": [round(x1, 3), round(y1, 3),
                      round(x2 - x1, 3), round(y2 - y1, 3)],  # xywh (COCO)
             "score": round(float(score), 5),
-        })
+        }
+        if mask is not None:
+            rec["segmentation"] = rle_encode(mask)
+        self.detections.append(rec)
 
     def add_ground_truth(self, image_id, category_id, bbox_xyxy):
         x1, y1, x2, y2 = [float(v) for v in bbox_xyxy]

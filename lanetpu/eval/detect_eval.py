@@ -17,11 +17,13 @@ from lanetpu.eval.cocoeval import DetectionRecorder
 def evaluate_detector(engine, num_samples: int = 64, offset: int = 5000,
                       seed: int = 42, img_size=(256, 256),
                       batch_size: int = 16,
-                      score_thresh: float = 0.05) -> dict:
+                      score_thresh: float = 0.05, hard: bool = False) -> dict:
     """engine: YoloEngine (fp32 or int8). Returns the mAP report dict.
 
     score_thresh defaults to 0.05 (mAP convention: measure recall at low
-    confidence), NOT the 0.25 deployment threshold."""
+    confidence), NOT the 0.25 deployment threshold. `hard` evaluates on
+    the de-saturated scene distribution (clutter, distractors, truncation,
+    3x scale range — see train.detect_task.render_detection_sample)."""
     from lanetpu.train.detect_task import render_detection_sample
 
     num_classes = engine.cfg.num_classes
@@ -30,7 +32,8 @@ def evaluate_detector(engine, num_samples: int = 64, offset: int = 5000,
         idx = range(offset + start, offset + min(start + batch_size,
                                                  num_samples))
         samples = [render_detection_sample(i, seed, tuple(img_size),
-                                           num_classes) for i in idx]
+                                           num_classes, hard=hard)
+                   for i in idx]
         frames_rgb = np.stack([s[0] for s in samples])
         results = engine.detect_batch(frames_rgb[..., ::-1],  # engine is BGR
                                       score_thresh=score_thresh)

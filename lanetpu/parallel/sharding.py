@@ -64,23 +64,31 @@ def make_parallel_multimodel(pipeline, mesh: Mesh):
     `pipeline/multimodel.py`) runs frame-batch data-parallel: frames
     sharded on `data`, all three models' weights replicated (together
     <100 MB — far below ZeRO territory), every per-frame output sharded
-    on `data`. XLA inserts no cross-device collectives in steady state —
-    each chip serves its slice of the camera batch, the multichip
-    analogue of the reference running one NPU per vehicle node.
+    on `data` — each chip serves its slice of the camera batch, the
+    multichip analogue of the reference running one NPU per vehicle node.
+
+    The program is wrapped in `shard_map` rather than relying on GSPMD
+    sharding propagation, so zero steady-state collectives holds BY
+    CONSTRUCTION: every op executes on the local shard, and an accidental
+    cross-shard dependency is a tracing error instead of a silently
+    inserted all-gather. (GSPMD propagation was observed to all-gather the
+    batch around XLA's unpartitionable TopK custom-call in the YOLO
+    decode; `tests/test_collective_census.py` asserts the compiled HLO of
+    this program contains no collective ops at any mesh size.)
 
     Returns fn(unet_vars, resnet_vars, yolo_vars, frames_bgr, threshold)
     -> (mask, points, boxes, scores, cls), all batch-sharded.
     """
-    rep = replicated(mesh)
-    frames_sh = batch_sharding(mesh, spatial=False)
-    return jax.jit(
-        pipeline._device_fn,
-        in_shardings=(rep, rep, rep, frames_sh, rep),
-        out_shardings=(
-            NamedSharding(mesh, P(DATA_AXIS, None, None)),    # mask
-            NamedSharding(mesh, P(DATA_AXIS, None)),          # points
-            NamedSharding(mesh, P(DATA_AXIS, None, None)),    # boxes
-            NamedSharding(mesh, P(DATA_AXIS, None)),          # scores
-            NamedSharding(mesh, P(DATA_AXIS, None)),          # cls
+    shard_fn = jax.shard_map(
+        pipeline._device_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
+        out_specs=(
+            P(DATA_AXIS, None, None),    # mask
+            P(DATA_AXIS, None),          # points
+            P(DATA_AXIS, None, None),    # boxes
+            P(DATA_AXIS, None),          # scores
+            P(DATA_AXIS, None),          # cls
         ),
+        check_vma=False,
     )
+    return jax.jit(shard_fn)

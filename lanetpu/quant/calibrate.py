@@ -36,24 +36,34 @@ from lanetpu.quant.qtensor import (
 
 
 def calibrate_unet(folded: dict, features, calib_batches: Iterable,
-                   percentile: float | None = 99.99) -> dict:
+                   percentile: float | None = 99.99,
+                   method: str = "percentile") -> dict:
     """Collect per-conv-layer input activation ranges.
 
     calib_batches yields normalized [N, H, W, C] float arrays (the exact
     tensors the model will see). Returns {layer_name: (lo, hi)}.
 
-    percentile=None reproduces plain min/max calibration. The default
-    clips each batch's range at the (100-p, p) percentiles and averages
-    across batches — outlier activations otherwise inflate the scale and
-    waste int8 resolution on values that never recur (measured: golden-
-    frame int8-vs-fp mask IoU 0.972 min/max -> 0.987 percentile; the RKNN
-    converter's 'normal' algorithm plays the same role,
-    reference README.md:3104-3127).
+    ``method``:
+      * "percentile" (default) — clips each batch's range at the
+        (100-p, p) percentiles and averages across batches; outlier
+        activations otherwise inflate the scale and waste int8 resolution
+        on values that never recur (measured: golden-frame int8-vs-fp mask
+        IoU 0.972 min/max -> 0.987 percentile; the RKNN converter's
+        'normal' algorithm plays the same role, README.md:3104-3127).
+        percentile=None degrades to plain min/max.
+      * "mmse" — per-layer grid search over shrink factors of the min/max
+        envelope, minimizing the quantize-dequantize MSE on the
+        calibration activations (the reference's
+        quantized_algorithm='mmse', README.md:3139).
 
     The whole per-batch collection is ONE jitted program returning a small
     dict of scalars — eager per-op execution is pathological on
     remote/tunneled backends.
     """
+    if method not in ("percentile", "mmse"):
+        raise ValueError(f"unknown calibration method {method!r}")
+    from lanetpu.quant.qtensor import mmse_combine, mmse_stats
+
     qs = (jnp.asarray([0.0, 100.0]) if percentile is None
           else jnp.asarray([100.0 - percentile, percentile]))
 
@@ -62,8 +72,11 @@ def calibrate_unet(folded: dict, features, calib_batches: Iterable,
         collected = {}
 
         def hook(h, kernel, bias, name, relu):
-            collected[name] = jnp.percentile(
-                h.astype(jnp.float32).ravel(), qs)
+            if method == "mmse":
+                collected[name] = mmse_stats(h)
+            else:
+                collected[name] = jnp.percentile(
+                    h.astype(jnp.float32).ravel(), qs)
             y = lax.conv_general_dilated(
                 h, jnp.asarray(kernel), (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC")) + jnp.asarray(bias)
@@ -75,9 +88,15 @@ def calibrate_unet(folded: dict, features, calib_batches: Iterable,
     per_batch: dict[str, list] = {}
     for batch in calib_batches:
         out = jax.device_get(ranges_fn(jnp.asarray(batch, jnp.float32)))
-        for name, lohi in out.items():
-            per_batch.setdefault(name, []).append(
-                (float(lohi[0]), float(lohi[1])))
+        for name, rec in out.items():
+            if method == "mmse":
+                per_batch.setdefault(name, []).append(
+                    (float(rec[0]), float(rec[1]), np.asarray(rec[2])))
+            else:
+                per_batch.setdefault(name, []).append(
+                    (float(rec[0]), float(rec[1])))
+    if method == "mmse":
+        return {k: mmse_combine(v) for k, v in per_batch.items()}
     if percentile is None:  # min/max: hard envelope across batches
         return {k: (min(lo for lo, _ in v), max(hi for _, hi in v))
                 for k, v in per_batch.items()}

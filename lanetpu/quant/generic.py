@@ -75,6 +75,15 @@ def _is_quantizable(mod: nn.Module, method_name: str) -> bool:
         return False
     if isinstance(mod, nn.Dense):
         return True
+    if isinstance(mod, nn.ConvTranspose):
+        # Non-overlapping (kernel == stride) transposed convs — the only
+        # kind in this zoo (U-Net up0..2, k=2 s=2) — quantize exactly as an
+        # int8 matmul + depth-to-space (see _int8_conv_transpose). Other
+        # geometries stay fp.
+        k = tuple(mod.kernel_size)
+        s = mod.strides if mod.strides is not None else k
+        s = (s, s) if isinstance(s, int) else tuple(s)
+        return k == s
     if isinstance(mod, nn.Conv):
         # Grouped / dilated convs are left fp (none in this model zoo).
         if getattr(mod, "feature_group_count", 1) != 1:
@@ -150,6 +159,55 @@ def _int8_dense(mod: nn.Dense, x, q, scale: float, zp: int):
     return (acc - corr).astype(jnp.float32) * requant + q["bias"]
 
 
+def _conv_transpose_core(xq, wq, out_dtype):
+    """Shared geometry of the k==s transposed conv: every input pixel emits
+    one (kh, kw) output block, so the op is a single contraction over Cin —
+    [N,H,W,Cin] x [kh,kw,Cin,Cout] -> [N,H,W,kh,kw,Cout] — followed by
+    depth-to-space. On TPU this is one MXU matmul (vs a lhs-dilated conv
+    whose inserted zeros waste MXU lanes). Callers pass the kernel
+    spatially flipped (wq[::-1, ::-1]) to match flax ConvTranspose
+    (transpose_kernel=False) numerics exactly."""
+    acc = lax.dot_general(
+        xq, wq, (((xq.ndim - 1,), (2,)), ((), ())),
+        preferred_element_type=out_dtype)
+    n, h, w, kh, kw, c = acc.shape
+    return acc, (n, h, w, kh, kw, c)
+
+
+def _depth_to_space_blocks(y, dims):
+    n, h, w, kh, kw, c = dims
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * kh, w * kw, c)
+
+
+def _int8_conv_transpose(mod: nn.ConvTranspose, x, q, scale: float, zp: int):
+    """True-int8 non-overlapping transposed conv.
+
+    The lhs-dilated formulation can't carry an asymmetric zero-point (the
+    inserted zeros would dequantize to -zp*scale), but the matmul
+    formulation contracts only over Cin, so the standard correction
+    zp * sum_cin(wq) applies per (kh, kw, cout) tap. That correction is
+    computed from wq here (shape [kh,kw,cout], trivially cheap) rather
+    than stored, because the precomputed w_sum in qarrays is summed over
+    kh*kw*cin (the Conv convention)."""
+    xq = _quantize_act(x, scale, zp)
+    wq = q["wq"][::-1, ::-1]
+    acc, dims = _conv_transpose_core(xq, wq, jnp.int32)
+    corr = wq.astype(jnp.int32).sum(axis=2) * jnp.int32(zp)
+    requant = jnp.float32(scale) * q["w_scale"].reshape(1, 1, 1, 1, 1, -1)
+    y = (acc - corr[None, None, None]).astype(jnp.float32) * requant
+    return _depth_to_space_blocks(y + q["bias"], dims)
+
+
+def _fakequant_conv_transpose(mod: nn.ConvTranspose, x, q,
+                              scale: float, zp: int):
+    xq = _quantize_act(x, scale, zp)
+    x_dq = (xq.astype(jnp.float32) - zp) * jnp.float32(scale)
+    w_dq = (q["wq"][::-1, ::-1].astype(jnp.float32)
+            * q["w_scale"].reshape(1, 1, 1, -1))
+    y, dims = _conv_transpose_core(x_dq, w_dq, jnp.float32)
+    return _depth_to_space_blocks(y + q["bias"], dims)
+
+
 def _fakequant_conv(mod: nn.Conv, x, q, scale: float, zp: int):
     strides, pads = _conv_geometry(mod, x.shape)
     xq = _quantize_act(x, scale, zp)
@@ -177,7 +235,8 @@ def _fakequant_dense(mod: nn.Dense, x, q, scale: float, zp: int):
 
 def collect_ranges(forward: Callable, variables, batches: Iterable,
                    extra_args: tuple = (),
-                   percentile: float | None = 99.99) -> dict:
+                   percentile: float | None = 99.99,
+                   method: str = "percentile") -> dict:
     """Record per-layer input activation ranges over calibration batches.
 
     ``forward(variables, batch, *extra_args)`` must be the EXACT inference
@@ -186,26 +245,42 @@ def collect_ranges(forward: Callable, variables, batches: Iterable,
     plain min/max with percentile=None, else per-batch percentile clipping
     averaged across batches (outliers otherwise inflate the scale; see
     quant.calibrate.calibrate_unet for the measured effect).
+    ``method="mmse"`` instead grid-searches a shrink factor of the min/max
+    envelope minimizing quantize-dequantize MSE (the reference's
+    quantized_algorithm='mmse', README.md:3139; see qtensor.mmse_stats).
     The per-batch collection is ONE jitted program returning a small dict
     of scalars (eager per-op execution is pathological on tunneled
     backends).
     """
+    if method not in ("percentile", "mmse"):
+        raise ValueError(f"unknown calibration method {method!r}")
+    from lanetpu.quant.qtensor import mmse_combine, mmse_stats
+
     qs = (jnp.asarray([0.0, 100.0]) if percentile is None
           else jnp.asarray([100.0 - percentile, percentile]))
 
     def traced(variables, x, *extra):
-        records: dict[str, jnp.ndarray] = {}
+        records: dict[str, object] = {}
 
         def ic(next_fn, args, kwargs, context):
             mod = context.module
             if _is_quantizable(mod, context.method_name):
                 p = _path_of(mod)
-                lohi = jnp.percentile(args[0].astype(jnp.float32).ravel(), qs)
-                if p in records:  # shared module called twice
-                    prev = records[p]
-                    lohi = jnp.stack([jnp.minimum(lohi[0], prev[0]),
-                                      jnp.maximum(lohi[1], prev[1])])
-                records[p] = lohi
+                h = args[0].astype(jnp.float32)
+                if method == "mmse":
+                    lo, hi, mse = mmse_stats(h)
+                    if p in records:  # shared module called twice
+                        plo, phi, pmse = records[p]
+                        lo, hi = jnp.minimum(lo, plo), jnp.maximum(hi, phi)
+                        mse = mse + pmse
+                    records[p] = (lo, hi, mse)
+                else:
+                    lohi = jnp.percentile(h.ravel(), qs)
+                    if p in records:
+                        prev = records[p]
+                        lohi = jnp.stack([jnp.minimum(lohi[0], prev[0]),
+                                          jnp.maximum(lohi[1], prev[1])])
+                    records[p] = lohi
             return next_fn(*args, **kwargs)
 
         with nn.intercept_methods(ic):
@@ -216,9 +291,15 @@ def collect_ranges(forward: Callable, variables, batches: Iterable,
     per_batch: dict[str, list] = {}
     for batch in batches:
         out = jax.device_get(fn(variables, jnp.asarray(batch), *extra_args))
-        for name, lohi in out.items():
-            per_batch.setdefault(name, []).append(
-                (float(lohi[0]), float(lohi[1])))
+        for name, rec in out.items():
+            if method == "mmse":
+                per_batch.setdefault(name, []).append(
+                    (float(rec[0]), float(rec[1]), np.asarray(rec[2])))
+            else:
+                per_batch.setdefault(name, []).append(
+                    (float(rec[0]), float(rec[1])))
+    if method == "mmse":
+        return {k: mmse_combine(v) for k, v in per_batch.items()}
     if percentile is None:
         return {k: (min(lo for lo, _ in v), max(hi for _, hi in v))
                 for k, v in per_batch.items()}
@@ -244,7 +325,7 @@ def quantize_variables(variables: dict, ranges: dict) -> tuple:
     qarrays, act_qp = {}, {}
     for path, (lo, hi) in ranges.items():
         node = params
-        for part in path.split("/"):
+        for part in path.split("/") if path else ():
             node = node[part]
         kernel = np.asarray(node["kernel"], np.float32)
         wq, wqp = quantize_symmetric_per_channel(kernel, axis=-1)
@@ -273,10 +354,12 @@ def make_quantized_forward(forward: Callable, act_qp: dict,
     """
     if mode == "fp":
         return lambda bundle, *args, **kw: forward(bundle["fp"], *args, **kw)
-    conv_impl = _int8_conv if mode == "int8" else _fakequant_conv
-    dense_impl = _int8_dense if mode == "int8" else _fakequant_dense
     if mode not in ("int8", "fakequant"):
         raise ValueError(f"unknown quant mode {mode!r}")
+    conv_impl = _int8_conv if mode == "int8" else _fakequant_conv
+    dense_impl = _int8_dense if mode == "int8" else _fakequant_dense
+    convt_impl = (_int8_conv_transpose if mode == "int8"
+                  else _fakequant_conv_transpose)
 
     def qforward(bundle, *args, **kwargs):
         qarrays = bundle["q"]
@@ -289,7 +372,9 @@ def make_quantized_forward(forward: Callable, act_qp: dict,
             if path not in act_qp or path not in qarrays:
                 return next_fn(*fargs, **fkwargs)
             scale, zp = act_qp[path]
-            impl = dense_impl if isinstance(mod, nn.Dense) else conv_impl
+            impl = (dense_impl if isinstance(mod, nn.Dense)
+                    else convt_impl if isinstance(mod, nn.ConvTranspose)
+                    else conv_impl)
             return impl(mod, fargs[0], qarrays[path], scale, zp)
 
         with nn.intercept_methods(ic):
@@ -300,14 +385,16 @@ def make_quantized_forward(forward: Callable, act_qp: dict,
 
 def quantize_forward(forward: Callable, variables: dict,
                      calib_batches: Iterable, mode: str = "int8",
-                     extra_args: tuple = ()) -> tuple:
+                     extra_args: tuple = (),
+                     calib_method: str = "percentile") -> tuple:
     """One-shot convenience: calibrate + quantize + wrap.
 
     Returns (qforward, bundle, act_qp) with
     ``qforward(bundle, batch, *extra_args)`` ready to jit.
     """
     batches = list(calib_batches)
-    ranges = collect_ranges(forward, variables, batches, extra_args)
+    ranges = collect_ranges(forward, variables, batches, extra_args,
+                            method=calib_method)
     qarrays, act_qp = quantize_variables(variables, ranges)
     bundle = {"fp": variables, "q": qarrays}
     return make_quantized_forward(forward, act_qp, mode), bundle, act_qp

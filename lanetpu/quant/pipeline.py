@@ -110,11 +110,15 @@ def _flatten_outputs(out) -> np.ndarray:
 def quantize_checkpoint(model_path: str, output_path: str,
                         calib_images: int = 100, mode: str = "int8",
                         seed: int = 123, val_offset: int = 10_000,
-                        val_images: int = 16) -> dict:
+                        val_images: int = 16, deploy: bool = False,
+                        calib_method: str = "percentile") -> dict:
     """Calibrate + quantize a checkpoint; write the int8 artifact + report.
 
     Works on every arch in the registry (unet / resnet_regressor / yolo).
     Returns the parity report dict (also embedded in the artifact meta).
+    ``deploy=True`` writes the deployment tier (fp weights of quantized
+    layers stripped + compressed payload; see
+    `engine.save_quantized_checkpoint`).
     """
     module, variables, meta = load_engine(model_path)
     variables = jax.device_put(variables)  # not per-call host->device uploads
@@ -138,7 +142,7 @@ def quantize_checkpoint(model_path: str, output_path: str,
     def forward(v, x):
         return module.apply(v, x, train=False)
 
-    ranges = collect_ranges(forward, variables, calib)
+    ranges = collect_ranges(forward, variables, calib, method=calib_method)
     qarrays, act_qp = quantize_variables(variables, ranges)
     bundle = {"fp": variables, "q": qarrays}
     qforward = jax.jit(make_quantized_forward(forward, act_qp, mode))
@@ -171,5 +175,5 @@ def quantize_checkpoint(model_path: str, output_path: str,
     report["num_quantized_layers"] = len(act_qp)
 
     save_quantized_checkpoint(output_path, meta, variables, qarrays, act_qp,
-                              mode=mode, parity=report)
+                              mode=mode, parity=report, deploy=deploy)
     return report

@@ -68,3 +68,56 @@ def dequantize(q, qp: QuantParams):
 def fake_quant(x, qp: QuantParams):
     """Quantize-dequantize round trip (simulated int8)."""
     return dequantize(quantize_asymmetric(x, qp), qp)
+
+
+# ---------------------------------------------------------------------------
+# MMSE range search (the reference README.md:3139 'mmse' quantized_algorithm)
+# ---------------------------------------------------------------------------
+
+MMSE_ALPHAS = np.linspace(0.3, 1.0, 15)
+
+
+def mmse_stats(h, alphas=None):
+    """In-jit per-layer MMSE statistics for one calibration batch.
+
+    For each candidate shrink factor alpha applied to the batch's min/max
+    envelope, computes the MSE between the activations and their
+    quantize-dequantize image under the shrunk range. Returns
+    (lo, hi, mse[K]) as jnp scalars/vector — the host-side
+    `mmse_combine` picks the error-minimizing alpha across batches.
+    This is the quantization-error-minimizing scale search the reference
+    documents as quantized_algorithm='mmse' (README.md:3104-3139).
+    """
+    if alphas is None:
+        alphas = MMSE_ALPHAS
+    h = h.astype(jnp.float32).ravel()
+    lo, hi = jnp.min(h), jnp.max(h)
+
+    def mse_for(alpha):
+        lo_a, hi_a = lo * alpha, hi * alpha
+        scale = jnp.maximum((hi_a - lo_a) / 255.0, 1e-12)
+        zp = jnp.clip(jnp.round(-128.0 - lo_a / scale), -128, 127)
+        q = jnp.clip(jnp.round(h / scale) + zp, -128, 127)
+        dq = (q - zp) * scale
+        return jnp.mean((dq - h) ** 2)
+
+    import jax
+
+    mse = jax.vmap(mse_for)(jnp.asarray(alphas, jnp.float32))
+    return lo, hi, mse
+
+
+def mmse_combine(per_batch: list, alphas=None) -> tuple:
+    """Host-side: [(lo, hi, mse[K])] over batches -> final (lo, hi).
+
+    MSEs are summed across batches per candidate (each batch's envelope is
+    its own reference, so candidates stay comparable); the winning alpha
+    scales the averaged envelope — mirroring how percentile calibration
+    averages per-batch ranges."""
+    if alphas is None:
+        alphas = MMSE_ALPHAS
+    total = np.sum([np.asarray(m) for _, _, m in per_batch], axis=0)
+    alpha = float(alphas[int(np.argmin(total))])
+    lo = float(np.mean([lo for lo, _, _ in per_batch]))
+    hi = float(np.mean([hi for _, hi, _ in per_batch]))
+    return alpha * lo, alpha * hi

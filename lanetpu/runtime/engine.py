@@ -40,16 +40,29 @@ MAGIC = b"LTPU"
 # ---------------------------------------------------------------------------
 
 
-def save_checkpoint(path: str, variables: dict, meta: dict) -> None:
+def save_checkpoint(path: str, variables: dict, meta: dict,
+                    codec: str | None = None) -> None:
     """Write a model artifact: MAGIC | u32 header_len | json header | msgpack.
 
     `meta` identifies the architecture (e.g. {"arch": "unet",
     "features": [32, 64, 128], ...}) so `load_engine` can rebuild the module.
     This replaces the reference's opaque .rknn blobs (src/py_utils/
     rknn_executor.py:9) with a self-describing container.
+
+    ``codec="zlib"`` compresses the msgpack payload (recorded in the header
+    so `load_checkpoint` is transparent) — used by deploy-tier artifacts
+    where size on disk is the point (reference ships a 2.29 MB int8 blob vs
+    ~120 MB fp32, README.md:1497-1499).
     """
-    header = json.dumps(meta).encode("utf-8")
+    if codec not in (None, "zlib"):
+        raise ValueError(f"unknown payload codec {codec!r}")
     payload = serialization.to_bytes(variables)
+    if codec == "zlib":
+        import zlib
+
+        meta = dict(meta, codec="zlib")
+        payload = zlib.compress(payload, 6)
+    header = json.dumps(meta).encode("utf-8")
     with open(path, "wb") as f:
         f.write(MAGIC)
         f.write(struct.pack("<I", len(header)))
@@ -77,6 +90,10 @@ def load_checkpoint(path: str, template: dict | None = None):
         (hlen,) = struct.unpack("<I", f.read(4))
         meta = json.loads(f.read(hlen).decode("utf-8"))
         payload = f.read()
+    if meta.get("codec") == "zlib":
+        import zlib
+
+        payload = zlib.decompress(payload)
     if template is not None:
         variables = serialization.from_bytes(template, payload)
     else:
@@ -225,11 +242,21 @@ def load_engine(model_path: str, backend: str = "tpu") -> tuple:
 def save_quantized_checkpoint(path: str, base_meta: dict, fp_variables: dict,
                               qarrays: dict, act_qp: dict,
                               mode: str = "int8",
-                              parity: dict | None = None) -> None:
+                              parity: dict | None = None,
+                              deploy: bool = False) -> None:
     """Write an int8 model artifact (the deployed-.rknn-blob analogue,
     reference .MISSING_LARGE_BLOBS:1-8). The container carries the fp
     variables (golden path), int8 weights, and the activation quant params;
-    `load_engine` + `build_apply_fn` reconstruct the int8 program."""
+    `load_engine` + `build_apply_fn` reconstruct the int8 program.
+
+    ``deploy=True`` writes the deployment tier: the fp kernels/biases of
+    every quantized layer are stripped (the int8 program never reads them —
+    interception replaces those calls outright) and the payload is
+    zlib-compressed, so the artifact is a fraction of the fp twin — the
+    size-is-the-point property of the reference's 2.29 MB .rknn blob
+    (README.md:1497-1499, :4273). Deploy artifacts cannot run the fp
+    golden path; keep the non-deploy twin for that.
+    """
     meta = dict(base_meta)
     meta["quant"] = {
         "mode": mode,
@@ -237,7 +264,54 @@ def save_quantized_checkpoint(path: str, base_meta: dict, fp_variables: dict,
     }
     if parity is not None:
         meta["quant"]["parity"] = parity
-    save_checkpoint(path, {"fp": fp_variables, "q": qarrays}, meta)
+    if deploy:
+        meta["quant"]["deploy"] = True
+        fp_variables = strip_quantized_fp(fp_variables, qarrays)
+        save_checkpoint(path, {"fp": fp_variables, "q": qarrays}, meta,
+                        codec="zlib")
+    else:
+        save_checkpoint(path, {"fp": fp_variables, "q": qarrays}, meta)
+
+
+def strip_quantized_fp(fp_variables: dict, qarrays: dict) -> dict:
+    """Return a copy of the fp variables with the kernel/bias of every
+    quantized layer replaced by empty sentinels.
+
+    Those arrays are dead weight in an int8 artifact: `make_quantized_forward`
+    intercepts the Conv/Dense call before its body runs, so `self.param`
+    is never invoked for quantized layers. BatchNorm params/stats and any
+    non-quantized layer are kept intact. A sentinel (empty array) rather
+    than deletion keeps the tree structure self-describing — and makes any
+    accidental fp use fail loudly on shape."""
+    variables = serialization.to_state_dict(fp_variables)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    empty = np.zeros((0,), np.float32)
+    for path in qarrays:
+        node = variables["params"]
+        for part in path.split("/") if path else ():
+            node = node[part]
+        for name in ("kernel", "bias"):
+            if name in node:
+                node[name] = empty
+    return variables
+
+
+def make_deploy_artifact(src_path: str, dst_path: str) -> dict:
+    """Convert a full int8 artifact into its deploy tier (strip + compress).
+
+    Pure container surgery — no calibration, no forward pass; the int8
+    program and its parity metadata are unchanged. Returns the new meta."""
+    meta, variables = load_checkpoint(src_path)
+    if "quant" not in meta:
+        raise ValueError(f"{src_path}: not a quantized artifact")
+    if meta["quant"].get("deploy"):
+        raise ValueError(f"{src_path}: already a deploy artifact")
+    meta = dict(meta, quant=dict(meta["quant"], deploy=True))
+    meta.pop("codec", None)  # save_checkpoint re-adds it for the new payload
+    fp = strip_quantized_fp(variables["fp"], variables["q"])
+    save_checkpoint(dst_path, {"fp": fp, "q": variables["q"]}, meta,
+                    codec="zlib")
+    return meta
 
 
 def build_apply_fn(module, meta: dict) -> Callable:

@@ -48,18 +48,90 @@ _SHAPE_COLORS = [
 ]
 
 
+# Muted colors far from every class color — drawn as distractors in hard
+# scenes (no ground truth) so color alone stops being a sufficient feature.
+_DISTRACTOR_COLORS = [
+    (150, 120, 100), (90, 110, 90), (170, 170, 140), (100, 100, 130),
+    (200, 180, 170), (70, 80, 100),
+]
+
+
+def _paint_shape(img, rng, x1, y1, x2, y2, color, kind, jitter=0.0):
+    """Draw a filled square/circle (class kinds) or ring/triangle
+    (distractor-only kinds), clipped to the image."""
+    h, w = img.shape[:2]
+    cx1, cy1 = max(0, x1), max(0, y1)
+    cx2, cy2 = min(w, x2), min(h, y2)
+    if cx2 <= cx1 or cy2 <= cy1:
+        return False
+    color = np.asarray(color, np.float32)
+    if jitter:
+        color = np.clip(color + rng.uniform(-jitter, jitter, 3), 0, 255)
+    yy, xx = np.mgrid[cy1:cy2, cx1:cx2]
+    cy, cx = (y1 + y2) / 2, (x1 + x2) / 2
+    r = (x2 - x1) / 2
+    if kind == "square":
+        mask = np.ones((cy2 - cy1, cx2 - cx1), bool)
+    elif kind == "circle":
+        mask = (yy - cy) ** 2 + (xx - cx) ** 2 <= r ** 2
+    elif kind == "ring":
+        d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+        mask = (d2 <= r ** 2) & (d2 >= (0.6 * r) ** 2)
+    else:  # triangle
+        mask = (yy >= cy1) & (np.abs(xx - cx) <= (yy - y1) / 2)
+    region = img[cy1:cy2, cx1:cx2]
+    region[mask] = color
+    img[cy1:cy2, cx1:cx2] = region
+    return True
+
+
+def _clutter_background(rng, h, w):
+    """Textured background: base noise + muted patches + soft stripes."""
+    img = rng.normal(110, 25, (h, w, 3))
+    for _ in range(int(rng.integers(4, 9))):  # muted rectangles
+        pw = int(rng.uniform(0.1, 0.45) * w)
+        ph = int(rng.uniform(0.1, 0.45) * h)
+        px = int(rng.uniform(0, w - pw))
+        py = int(rng.uniform(0, h - ph))
+        c = np.asarray(_DISTRACTOR_COLORS[
+            int(rng.integers(len(_DISTRACTOR_COLORS)))], np.float32)
+        img[py:py + ph, px:px + pw] = (
+            0.6 * img[py:py + ph, px:px + pw] + 0.4 * c)
+    # soft diagonal illumination stripes
+    yy, xx = np.mgrid[0:h, 0:w]
+    phase = rng.uniform(0, 2 * np.pi)
+    freq = rng.uniform(0.02, 0.06)
+    img *= (1.0 + 0.15 * np.sin(freq * (xx + yy) + phase))[..., None]
+    return img.clip(0, 255)
+
+
 def render_detection_sample(index: int, seed: int = 42, image_size=(256, 256),
                             num_classes: int = 11, max_objects: int = 4,
-                            max_occlusion: float = 0.25):
+                            max_occlusion: float = 0.25, hard: bool = False):
     """-> (img uint8 [H, W, 3], boxes [M, 4] xyxy, classes [M]).
 
     Placement is rejection-sampled so no object is covered more than
     `max_occlusion` by a later draw — otherwise heavily-occluded objects
     keep full ground-truth boxes that nothing can detect (measured: such
-    label noise capped recall@0.5 at ~0.91 and mAP50 at ~0.91)."""
+    label noise capped recall@0.5 at ~0.91 and mAP50 at ~0.91).
+
+    ``hard=True`` is the de-saturated benchmark distribution (the easy one
+    measured mAP50 = 1.00 — too easy to certify a detector): background
+    clutter (muted patches + illumination stripes), distractor shapes in
+    non-class colors (rings/triangles, no ground truth), 3x the scale
+    range (0.06-0.5 vs 0.15-0.4), edge-truncated objects (clipped boxes,
+    kept if >=25% visible), more objects (up to 7), deeper overlap
+    (occlusion cap 0.45), and per-object color jitter."""
     h, w = image_size
     rng = np.random.default_rng(np.random.SeedSequence([seed, index]))
-    img = rng.normal(110, 25, (h, w, 3)).clip(0, 255)
+    if hard:
+        max_objects = max(max_objects, 7)
+        max_occlusion = max(max_occlusion, 0.45)
+        img = _clutter_background(rng, h, w)
+        size_range, jitter = (0.06, 0.5), 20.0
+    else:
+        img = rng.normal(110, 25, (h, w, 3)).clip(0, 255)
+        size_range, jitter = (0.15, 0.4), 0.0
 
     def _coverage(b, others):
         x1, y1, x2, y2 = b
@@ -76,30 +148,45 @@ def render_detection_sample(index: int, seed: int = 42, image_size=(256, 256),
     boxes, classes = [], []
     for _ in range(n):
         cls = int(rng.integers(0, num_classes))
-        size = int(rng.uniform(0.15, 0.4) * min(h, w))
-        placed = False
+        size = int(rng.uniform(*size_range) * min(h, w))
+        size = max(size, 8)
+        placed = None
         for _try in range(20):
+            if hard:  # centers may fall near the edge: truncated objects
+                x1 = int(rng.uniform(-0.4 * size, w - 0.6 * size))
+                y1 = int(rng.uniform(-0.4 * size, h - 0.6 * size))
+            else:
+                x1 = int(rng.uniform(0, w - size))
+                y1 = int(rng.uniform(0, h - size))
+            cand = (x1, y1, x1 + size, y1 + size)
+            clipped = (max(0, x1), max(0, y1),
+                       min(w, x1 + size), min(h, y1 + size))
+            vis = ((clipped[2] - clipped[0]) * (clipped[3] - clipped[1])
+                   / float(size * size))
+            if vis < 0.25:
+                continue  # hopelessly truncated: resample
+            if _coverage(clipped, boxes) <= max_occlusion:
+                placed = (cand, clipped)
+                break
+        if placed is None:
+            continue  # no clean spot: draw fewer objects
+        (x1, y1, x2, y2), clipped = placed
+        color = _SHAPE_COLORS[cls % len(_SHAPE_COLORS)]
+        kind = "square" if cls % 2 == 0 else "circle"
+        if _paint_shape(img, rng, x1, y1, x2, y2, color, kind, jitter):
+            boxes.append(list(clipped))  # GT = visible extent
+            classes.append(cls)
+    if hard:  # distractors painted last (may partially occlude objects)
+        for _ in range(int(rng.integers(1, 4))):
+            size = int(rng.uniform(0.08, 0.3) * min(h, w))
             x1 = int(rng.uniform(0, w - size))
             y1 = int(rng.uniform(0, h - size))
             cand = (x1, y1, x1 + size, y1 + size)
-            if _coverage(cand, boxes) <= max_occlusion:
-                placed = True
-                break
-        if not placed:
-            continue  # no clean spot: draw fewer objects
-        x2, y2 = x1 + size, y1 + size
-        color = np.array(_SHAPE_COLORS[cls % len(_SHAPE_COLORS)], np.float32)
-        yy, xx = np.mgrid[y1:y2, x1:x2]
-        if cls % 2 == 0:  # filled square
-            img[y1:y2, x1:x2] = color
-        else:  # filled circle
-            cy, cx = (y1 + y2) / 2, (x1 + x2) / 2
-            mask = (yy - cy) ** 2 + (xx - cx) ** 2 <= (size / 2) ** 2
-            region = img[y1:y2, x1:x2]
-            region[mask] = color
-            img[y1:y2, x1:x2] = region
-        boxes.append([x1, y1, x2, y2])
-        classes.append(cls)
+            if _coverage(cand, boxes) > 0.3:
+                continue  # distractors must not bury real objects
+            c = _DISTRACTOR_COLORS[int(rng.integers(len(_DISTRACTOR_COLORS)))]
+            _paint_shape(img, rng, x1, y1, x1 + size, y1 + size, c,
+                         "ring" if rng.random() < 0.5 else "triangle")
     return (img.astype(np.uint8), np.array(boxes, np.float32),
             np.array(classes, np.int64))
 
@@ -179,7 +266,8 @@ def make_batch(indices, seed, img_size, num_classes, strides=(8, 16, 32),
             np.stack(poss).astype(np.float32), metas)
 
 
-def make_gt_batch(indices, seed, img_size, num_classes, max_objects: int = 8):
+def make_gt_batch(indices, seed, img_size, num_classes, max_objects: int = 8,
+                  hard: bool = False):
     """Padded ground-truth arrays for the in-step (TAL) assigner.
 
     -> (imgs [N,H,W,3] u8, gt_boxes [N,M,4] xyxy f32, gt_classes [N,M] i32,
@@ -188,7 +276,7 @@ def make_gt_batch(indices, seed, img_size, num_classes, max_objects: int = 8):
     imgs, bs, cs, vs = [], [], [], []
     for i in indices:
         img, boxes, classes = render_detection_sample(
-            i, seed, img_size, num_classes)
+            i, seed, img_size, num_classes, hard=hard)
         m = min(len(boxes), max_objects)
         gb = np.zeros((max_objects, 4), np.float32)
         gc = np.zeros(max_objects, np.int32)
@@ -417,11 +505,13 @@ def train_yolo(num_classes: int = 11, img_size=(256, 256), epochs: int = 10,
                depth_mult: float = 0.33, seed: int = 42,
                save_path: str | None = None, compute_dtype=jnp.bfloat16,
                verbose: bool = True, assigner: str = "tal",
-               data=None) -> dict:
+               data=None, hard: bool = False) -> dict:
     """`data`: optional real dataset (e.g. `train.ingest.CocoDetectionDataset`)
     with `__len__`, `.num_classes`, `.img_size`, and
     `.gt_batch(indices) -> (imgs, gt_boxes, gt_classes, gt_valid)`;
-    overrides the synthetic generator (TAL assigner only)."""
+    overrides the synthetic generator (TAL assigner only).
+    `hard`: train on the de-saturated scene distribution
+    (render_detection_sample(hard=True))."""
     assert assigner in ("tal", "center")
     if data is not None:
         assert assigner == "tal", "real datasets require the TAL assigner"
@@ -489,7 +579,7 @@ def train_yolo(num_classes: int = 11, img_size=(256, 256), epochs: int = 10,
                     imgs, gb, gc, gv = data.gt_batch(idx)
                 else:
                     imgs, gb, gc, gv = make_gt_batch(idx, seed, img_size,
-                                                     num_classes)
+                                                     num_classes, hard=hard)
                 params, batch_stats, opt_state, loss, aux = train_step_tal(
                     params, batch_stats, opt_state, jnp.asarray(imgs),
                     jnp.asarray(gb), jnp.asarray(gc), jnp.asarray(gv))

@@ -1,0 +1,319 @@
+"""Round-3 stages: hard-set detector, real-data eval, deploy artifacts.
+
+Run on the TPU (single client!):  python scripts/round3.py [stage...]
+Stages:
+  yolo_hard       retrain the detector on the de-saturated (hard) scenes
+  eval_hard       mAP of the hard-trained detector on hard + easy val sets
+  eval_hard_old   mAP of the ROUND-2 (easy-trained) detector on hard scenes
+  quant_yolo_hard int8 twin + deploy tier of the hard detector
+  real_eval       real-frame scores: reference demo IoU, condition
+                  stability, IPM warp check — for every lane tier
+Writes artifacts/* and appends per-stage results to
+artifacts/round3_report.json.
+"""
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+os.chdir("/root/repo")
+
+REPORT = "artifacts/round3_report.json"
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def record(stage, payload):
+    rep = {}
+    if os.path.exists(REPORT):
+        with open(REPORT) as f:
+            rep = json.load(f)
+    rep[stage] = payload
+    with open(REPORT, "w") as f:
+        json.dump(rep, f, indent=1, sort_keys=True)
+    log(f"stage {stage}: {json.dumps(payload)[:400]}")
+
+
+def _cache():
+    import jax
+
+    d = os.path.expanduser("~/.cache/lanetpu/xla")
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _train_unet(stage, save_dir, s2d=1, features=(32, 64, 128),
+                epochs=120):
+    from lanetpu.core.config import TrainConfig
+    from lanetpu.train.trainer import Trainer
+
+    _cache()
+    cfg = TrainConfig(epochs=epochs, num_train=512, num_val=64, s2d=s2d,
+                      features=tuple(features), save_dir=save_dir)
+    t0 = time.time()
+    result = Trainer(cfg).fit()
+    record(stage, {"best_dice": result["best_dice"],
+                   "best_epoch": result["best_epoch"],
+                   "epochs_run": len(result["history"]),
+                   "wall_s": round(time.time() - t0, 1)})
+
+
+def stage_unet():
+    """Parity topology on the round-3 distribution (wedges, bright floors,
+    thin lines) — 120-epoch schedule (the recipe that ships)."""
+    _train_unet("unet", "artifacts/lane_unet")
+
+
+def stage_unet_s2d2():
+    _train_unet("unet_s2d2", "artifacts/lane_unet_s2d", s2d=2)
+
+
+def stage_unet_s2d4():
+    _train_unet("unet_s2d4", "artifacts/lane_unet_s2d4", s2d=4,
+                features=(48, 96, 192))
+
+
+def stage_scenes():
+    import jax.numpy as jnp
+
+    from lanetpu.core.config import PipelineConfig, UNetConfig
+    from lanetpu.eval.scenes import evaluate_by_scene
+    from lanetpu.models.unet import UNet
+    from lanetpu.runtime.engine import load_engine
+    from lanetpu.runtime.lane import LaneSegmenter
+
+    _cache()
+    _, variables, meta = load_engine("artifacts/lane_unet/best_model.ltpu")
+    module = UNet(config=UNetConfig(features=tuple(meta["features"])),
+                  dtype=jnp.bfloat16)
+    seg = LaneSegmenter(module=module, variables=variables,
+                        config=PipelineConfig(compute_dtype="bfloat16"))
+    rep = evaluate_by_scene(seg.predict_batch, num_samples=140,
+                            offset=2048, batch_size=28)
+    out = {k: {m: round(v, 4) for m, v in d.items()} for k, d in rep.items()}
+    with open("artifacts/lane_unet/scenes.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    record("scenes", out)
+
+
+def stage_quant_unet():
+    """Folded .pkl (parity topology) + generic int8 .ltpu + deploy twin
+    for all three U-Net tiers."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lanetpu.quant import (calibrate_unet, fold_unet_batchnorm,
+                               parity_report, quantize_unet,
+                               unet_forward_folded)
+    from lanetpu.quant.pipeline import lane_batches, quantize_checkpoint
+    from lanetpu.runtime.engine import load_engine, make_deploy_artifact
+
+    _cache()
+    model = "artifacts/lane_unet/best_model.ltpu"
+    _, variables, meta = load_engine(model)
+    features = tuple(meta["features"])
+    folded = fold_unet_batchnorm(variables, features)
+    batches = lane_batches(100, seed=123)
+    ranges = calibrate_unet(folded, features, batches)
+    q = quantize_unet(folded, features, ranges,
+                      final_sigmoid=meta.get("final_sigmoid", False))
+    x = jnp.asarray(batches[0])
+    fp_fn = jax.jit(lambda v: jax.nn.sigmoid(
+        unet_forward_folded(folded, v, features)))
+    i8_fn = jax.jit(lambda v: jax.nn.sigmoid(q.forward(v, mode="int8")))
+    rep_folded = parity_report(np.asarray(fp_fn(x)), np.asarray(i8_fn(x)))
+    with open("artifacts/lane_unet/model_int8.pkl", "wb") as f:
+        pickle.dump(q, f)
+    out = {"folded": rep_folded}
+    for d in ("lane_unet", "lane_unet_s2d", "lane_unet_s2d4"):
+        rep = quantize_checkpoint(f"artifacts/{d}/best_model.ltpu",
+                                  f"artifacts/{d}/model_int8.ltpu",
+                                  calib_images=100)
+        dep = f"artifacts/{d}/model_int8_deploy.ltpu"
+        if os.path.exists(dep):
+            os.remove(dep)
+        make_deploy_artifact(f"artifacts/{d}/model_int8.ltpu", dep)
+        rep["deploy_bytes"] = os.path.getsize(dep)
+        out[d] = rep
+    record("quant_unet", out)
+
+
+def stage_points():
+    from lanetpu.train.points_task import train_points
+
+    _cache()
+    out = {}
+    for mode, depth, path in (
+            ("xcoords", 50, "artifacts/points_xcoords.ltpu"),
+            ("xcoords", 18, "artifacts/points_xcoords_r18.ltpu"),
+            ("centerline", 50, "artifacts/points_centerline.ltpu"),
+            ("centerline", 18, "artifacts/points_centerline_r18.ltpu")):
+        t0 = time.time()
+        result = train_points(mode=mode, depth=depth, epochs=30,
+                              num_train=512, num_val=64, batch_size=16,
+                              save_path=path)
+        out[f"{mode}_r{depth}"] = {
+            "val_mae": result["final_val_mae"],
+            "wall_s": round(time.time() - t0, 1)}
+        record("points_progress", out)
+    record("points", out)
+
+
+def stage_quant_points():
+    from lanetpu.quant.pipeline import quantize_checkpoint
+    from lanetpu.runtime.engine import make_deploy_artifact
+
+    _cache()
+    out = {}
+    for base in ("points_xcoords", "points_xcoords_r18",
+                 "points_centerline", "points_centerline_r18"):
+        rep = quantize_checkpoint(f"artifacts/{base}.ltpu",
+                                  f"artifacts/{base}_int8.ltpu",
+                                  calib_images=100)
+        dep = f"artifacts/{base}_int8_deploy.ltpu"
+        if os.path.exists(dep):
+            os.remove(dep)
+        make_deploy_artifact(f"artifacts/{base}_int8.ltpu", dep)
+        rep["deploy_bytes"] = os.path.getsize(dep)
+        out[base] = rep
+        record("quant_points_progress", out)
+    record("quant_points", out)
+
+
+def stage_yolo_hard():
+    """Train on the hard distribution until it certifies: the easy set
+    saturated at mAP50=1.00 and could not distinguish detectors."""
+    from lanetpu.eval.detect_eval import evaluate_detector
+    from lanetpu.runtime.detector import YoloEngine
+    from lanetpu.train.detect_task import train_yolo
+
+    _cache()
+    t0 = time.time()
+    train_yolo(num_classes=11, img_size=(256, 256), epochs=90,
+               num_train=768, batch_size=16, assigner="tal", hard=True,
+               save_path="artifacts/yolo_hard.ltpu")
+    eng = YoloEngine.from_checkpoint("artifacts/yolo_hard.ltpu")
+    rep = evaluate_detector(eng, num_samples=64, hard=True)
+    rep["wall_s"] = round(time.time() - t0, 1)
+    record("yolo_hard", rep)
+
+
+def stage_eval_hard():
+    from lanetpu.eval.detect_eval import evaluate_detector
+    from lanetpu.runtime.detector import YoloEngine
+
+    _cache()
+    eng = YoloEngine.from_checkpoint("artifacts/yolo_hard.ltpu")
+    record("yolo_hard_on_hard", evaluate_detector(eng, num_samples=64,
+                                                  hard=True))
+    record("yolo_hard_on_easy", evaluate_detector(eng, num_samples=64))
+
+
+def stage_eval_hard_old():
+    """The saturation proof: the round-2 detector scored 1.00 on easy;
+    its hard-set number is the honest difficulty measurement."""
+    from lanetpu.eval.detect_eval import evaluate_detector
+    from lanetpu.runtime.detector import YoloEngine
+
+    _cache()
+    eng = YoloEngine.from_checkpoint("artifacts/yolo_synthetic.ltpu")
+    record("yolo_easytrained_on_hard",
+           evaluate_detector(eng, num_samples=64, hard=True))
+
+
+def stage_quant_yolo_hard():
+    from lanetpu.quant.pipeline import quantize_checkpoint
+    from lanetpu.runtime.engine import make_deploy_artifact
+
+    _cache()
+    rep = quantize_checkpoint("artifacts/yolo_hard.ltpu",
+                              "artifacts/yolo_hard_int8.ltpu")
+    make_deploy_artifact("artifacts/yolo_hard_int8.ltpu",
+                         "artifacts/yolo_hard_int8_deploy.ltpu")
+    rep["deploy_bytes"] = os.path.getsize(
+        "artifacts/yolo_hard_int8_deploy.ltpu")
+    record("quant_yolo_hard", rep)
+
+
+def _lane_tiers():
+    """(name, artifact) for every shipped lane tier, fp + int8."""
+    tiers = []
+    for d in ("lane_unet", "lane_unet_s2d", "lane_unet_s2d4"):
+        tiers.append((d, f"artifacts/{d}/best_model.ltpu", None))
+        tiers.append((f"{d}_int8", f"artifacts/{d}/model_int8.ltpu", "int8"))
+    return tiers
+
+
+def stage_real_eval():
+    """Score every lane tier on the reference's own real frame + published
+    mask, plus the photometric-condition stability table and the IPM warp
+    check. THE external-validity numbers (VERDICT r2 item 1)."""
+    import jax.numpy as jnp
+
+    from lanetpu.core.config import PipelineConfig
+    from lanetpu.eval import real
+    from lanetpu.runtime.engine import build_apply_fn, load_engine
+    from lanetpu.runtime.lane import LaneSegmenter
+
+    _cache()
+    assert real.assets_present(), "reference demo assets not mounted"
+    out = {"ipm_warp": real.ipm_warp_score()}
+    for name, path, quant in _lane_tiers():
+        module, variables, meta = load_engine(path)
+        if quant:
+            seg = LaneSegmenter(
+                module=module, variables=variables,
+                config=PipelineConfig(compute_dtype="float32"),
+                forward_fn=build_apply_fn(module, meta))
+        else:
+            seg = LaneSegmenter(module=module, variables=variables,
+                                config=PipelineConfig(
+                                    compute_dtype="float32"))
+        entry = real.reference_demo_score(seg)
+        entry["birdseye"] = real.birdseye_frame_scores(seg)
+        entry["golden_warped"] = real.golden_warped_score(seg)
+        if name == "lane_unet":  # condition table once, on the parity tier
+            entry["conditions"] = real.condition_stability_score(seg)
+        out[name] = entry
+        log(name, json.dumps(entry)[:240])
+    record("real_eval", out)
+
+
+STAGES = {
+    "unet": stage_unet,
+    "unet_s2d2": stage_unet_s2d2,
+    "unet_s2d4": stage_unet_s2d4,
+    "scenes": stage_scenes,
+    "quant_unet": stage_quant_unet,
+    "points": stage_points,
+    "quant_points": stage_quant_points,
+    "yolo_hard": stage_yolo_hard,
+    "eval_hard": stage_eval_hard,
+    "eval_hard_old": stage_eval_hard_old,
+    "quant_yolo_hard": stage_quant_yolo_hard,
+    "real_eval": stage_real_eval,
+}
+
+
+def main():
+    todo = sys.argv[1:] or list(STAGES)
+    for name in todo:
+        try:
+            log(f"=== stage {name} ===")
+            STAGES[name]()
+        except Exception:
+            traceback.print_exc()
+            record(name, {"error": traceback.format_exc()[-400:]})
+
+
+if __name__ == "__main__":
+    main()

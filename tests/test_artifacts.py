@@ -283,3 +283,67 @@ def test_yolo_int8_artifact():
                                      compute_dtype="float32")
     rep = evaluate_detector(eng, num_samples=8)
     assert rep["map50"] >= 0.95, rep  # full 64-sample TPU eval: 1.00
+
+
+# ---------------------------------------------------------------------------
+# Deploy-tier int8 artifacts (reference: 2.29 MB .rknn vs ~120 MB fp32,
+# README.md:1497-1499, :4273 — small IS the point of int8 deployment)
+# ---------------------------------------------------------------------------
+
+DEPLOY_TRIPLES = [
+    # (deploy artifact, full int8 twin, fp twin)
+    ("lane_unet/model_int8_deploy.ltpu",
+     "lane_unet/model_int8.ltpu", "lane_unet/best_model.ltpu"),
+    ("lane_unet_s2d/model_int8_deploy.ltpu",
+     "lane_unet_s2d/model_int8.ltpu", "lane_unet_s2d/best_model.ltpu"),
+    ("lane_unet_s2d4/model_int8_deploy.ltpu",
+     "lane_unet_s2d4/model_int8.ltpu", "lane_unet_s2d4/best_model.ltpu"),
+    ("points_xcoords_int8_deploy.ltpu",
+     "points_xcoords_int8.ltpu", "points_xcoords.ltpu"),
+    ("points_xcoords_r18_int8_deploy.ltpu",
+     "points_xcoords_r18_int8.ltpu", "points_xcoords_r18.ltpu"),
+    ("points_centerline_int8_deploy.ltpu",
+     "points_centerline_int8.ltpu", "points_centerline.ltpu"),
+    ("points_centerline_r18_int8_deploy.ltpu",
+     "points_centerline_r18_int8.ltpu", "points_centerline_r18.ltpu"),
+    ("yolo_synthetic_int8_deploy.ltpu",
+     "yolo_synthetic_int8.ltpu", "yolo_synthetic.ltpu"),
+]
+
+
+@pytest.mark.parametrize("deploy,full,fp", DEPLOY_TRIPLES,
+                         ids=[t[0] for t in DEPLOY_TRIPLES])
+def test_deploy_artifact_size(deploy, full, fp):
+    """Every family ships a deploy tier <= 25% of its fp twin."""
+    d = os.path.getsize(_art(deploy))
+    f = os.path.getsize(_art(fp))
+    assert d <= 0.25 * f, f"{deploy}: {d/1e6:.2f} MB > 25% of {f/1e6:.2f} MB"
+    assert d < os.path.getsize(_art(full))
+
+
+@pytest.mark.parametrize("deploy,full", [
+    ("lane_unet/model_int8_deploy.ltpu", "lane_unet/model_int8.ltpu"),
+    ("points_xcoords_r18_int8_deploy.ltpu", "points_xcoords_r18_int8.ltpu"),
+    ("yolo_synthetic_int8_deploy.ltpu", "yolo_synthetic_int8.ltpu"),
+])
+def test_deploy_artifact_outputs_match_full_int8(deploy, full):
+    """Stripping fp weights + compressing must not change a single output
+    bit: the int8 program reads only the q-arrays for quantized layers.
+    (One family per architecture; the container surgery is arch-blind.)"""
+    from lanetpu.runtime.engine import build_apply_fn, load_engine
+
+    md, vd, metad = load_engine(_art(deploy), backend="cpu")
+    mf, vf, metaf = load_engine(_art(full), backend="cpu")
+    assert metad["quant"].get("deploy") is True
+    assert metad["codec"] == "zlib"
+    assert metad["quant"]["parity"] == metaf["quant"]["parity"]
+    shape = ((1, 224, 224, 3) if metad["arch"] != "yolo"
+             else (1,) + tuple(metad["img_size"]) + (3,))
+    x = jnp.asarray(np.random.default_rng(5).normal(
+        0.5, 0.25, shape).astype(np.float32))
+    out_d = jax.tree_util.tree_leaves(
+        jax.jit(build_apply_fn(md, metad))(vd, x))
+    out_f = jax.tree_util.tree_leaves(
+        jax.jit(build_apply_fn(mf, metaf))(vf, x))
+    for a, b in zip(out_d, out_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

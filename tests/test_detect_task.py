@@ -230,3 +230,47 @@ def test_train_yolo_tal_smoke(tmp_path):
                         verbose=False, assigner="tal")
     losses = [h["loss"] for h in result["history"]]
     assert losses[-1] < losses[0]
+
+
+def test_hard_scene_distribution():
+    """The de-saturated benchmark distribution: hard scenes must contain
+    edge-truncated boxes, sub-0.15-scale objects, and pixels painted in
+    distractor colors — and stay deterministic per (seed, index)."""
+    from lanetpu.train.detect_task import (_DISTRACTOR_COLORS,
+                                           render_detection_sample)
+
+    saw_truncated = saw_small = saw_distractor = False
+    for i in range(24):
+        img, boxes, classes = render_detection_sample(
+            i, 42, (256, 256), 11, hard=True)
+        assert img.shape == (256, 256, 3) and img.dtype == np.uint8
+        for b in boxes:
+            assert 0 <= b[0] <= b[2] <= 256 and 0 <= b[1] <= b[3] <= 256
+            wdt, hgt = b[2] - b[0], b[3] - b[1]
+            if abs(wdt - hgt) > 2:  # clipped square/circle: unequal sides
+                saw_truncated = True
+            if max(wdt, hgt) < 0.15 * 256:
+                saw_small = True
+        flat = img.reshape(-1, 3).astype(np.int32)
+        for c in _DISTRACTOR_COLORS:
+            if (np.abs(flat - np.asarray(c)).sum(1) < 12).any():
+                saw_distractor = True
+                break
+    assert saw_truncated and saw_small and saw_distractor
+
+    a = render_detection_sample(3, 42, (256, 256), 11, hard=True)
+    b = render_detection_sample(3, 42, (256, 256), 11, hard=True)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_easy_scene_unchanged_by_hard_refactor():
+    """The easy distribution backs the shipped artifact gates; the hard-mode
+    refactor must not perturb its RNG stream (same draw sequence)."""
+    from lanetpu.train.detect_task import render_detection_sample
+
+    img, boxes, classes = render_detection_sample(123, 42, (256, 256), 11)
+    assert len(boxes) == len(classes) >= 1
+    # boxes are full (unclipped) squares in easy mode
+    for b in boxes:
+        assert abs((b[2] - b[0]) - (b[3] - b[1])) < 1e-5

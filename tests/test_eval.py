@@ -83,3 +83,70 @@ def test_map_export_json(tmp_path):
     data = json.loads(path.read_text())
     assert data[0]["image_id"] == 7
     assert data[0]["bbox"] == [1, 2, 10, 20]  # xywh
+
+
+# ---------------------------------------------------------------------------
+# COCO compressed RLE (reference coco_utils.py:152-175 record shape)
+# ---------------------------------------------------------------------------
+
+
+def test_rle_known_vectors():
+    from lanetpu.eval.cocoeval import rle_encode
+
+    # all-background 3x3: single run of 9 -> one char '9' (9+48)
+    assert rle_encode(np.zeros((3, 3), np.uint8)) == {
+        "size": [3, 3], "counts": "9"}
+    # leading foreground pixel: counts [0, 1] -> "01"
+    assert rle_encode(np.ones((1, 1), np.uint8)) == {
+        "size": [1, 1], "counts": "01"}
+    # column-major scan: mask column of ones first
+    m = np.zeros((2, 3), np.uint8)
+    m[:, 0] = 1  # flat(F-order) = 1 1 0 0 0 0 -> counts [0, 2, 4]
+    assert rle_encode(m)["counts"] == "024"
+
+
+def test_rle_roundtrip_random():
+    from lanetpu.eval.cocoeval import rle_decode, rle_encode
+
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (7, 5), (64, 64), (37, 83)]:
+        for p in (0.05, 0.5, 0.95):
+            m = (rng.random(shape) < p).astype(np.uint8)
+            rle = rle_encode(m)
+            assert isinstance(rle["counts"], str)
+            np.testing.assert_array_equal(rle_decode(rle), m)
+
+
+def test_rle_delta_encoding_long_runs():
+    """Counts beyond the third are delta-encoded (i-2); decode must invert
+    exactly, including negative deltas and multi-char (>31) values."""
+    from lanetpu.eval.cocoeval import rle_decode, rle_encode
+
+    m = np.zeros((100, 100), np.uint8)
+    m[10:90, 3] = 1   # long runs -> multi-char counts
+    m[5:6, 50] = 1    # short run later -> negative delta vs earlier count
+    m[:, 99] = 1
+    rle = rle_encode(m)
+    np.testing.assert_array_equal(rle_decode(rle), m)
+
+
+def test_recorder_segmentation_record_shape(tmp_path):
+    """With a mask, the exported record carries a `segmentation` RLE with a
+    utf-8 counts string, like the reference's single_encode path."""
+    import json
+
+    from lanetpu.eval.cocoeval import rle_decode
+
+    rec = DetectionRecorder()
+    mask = np.zeros((8, 8), np.uint8)
+    mask[2:6, 2:6] = 1
+    rec.add_detection(1, 3, [2, 2, 6, 6], 0.9, mask=mask)
+    rec.add_detection(1, 3, [0, 0, 2, 2], 0.5)  # box-only record unchanged
+    path = tmp_path / "det.json"
+    rec.export_json(str(path))
+    a, b = json.load(open(path))
+    assert a["segmentation"]["size"] == [8, 8]
+    assert isinstance(a["segmentation"]["counts"], str)
+    np.testing.assert_array_equal(rle_decode(a["segmentation"]), mask)
+    assert "segmentation" not in b
+    assert a["bbox"] == [2, 2, 4, 4] and a["score"] == 0.9

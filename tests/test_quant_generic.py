@@ -66,8 +66,41 @@ def test_unet_int8_parity_through_generic_path():
     prob_fp = np.asarray(jax.nn.sigmoid(jax.jit(fwd)(v, x)))
     prob_i8 = np.asarray(jax.nn.sigmoid(jax.jit(qf)(bundle, x)))
     assert np.abs(prob_fp - prob_i8).mean() < 0.05  # reference MAE gate
-    # transpose convs stay fp: only plain convs are quantized
-    assert not any(p.startswith("up") for p in act_qp)
+    # k==s transpose convs are quantized too (int8 matmul + depth-to-space)
+    assert any(p.startswith("up") for p in act_qp)
+
+
+def test_conv_transpose_int8_matches_fp():
+    """The k==s transposed conv runs as an int8 matmul + depth-to-space;
+    with a fine activation scale it must track the fp ConvTranspose to
+    quantization noise, including the zero-point correction (contraction
+    is over Cin only, so the Conv-style w_sum does not apply)."""
+    import flax.linen as nn
+
+    m = nn.ConvTranspose(features=8, kernel_size=(2, 2), strides=(2, 2))
+    x = RNG.normal(0, 1, (2, 6, 5, 4)).astype(np.float32)
+    v = m.init(jax.random.PRNGKey(3), jnp.asarray(x))
+    fwd = lambda vv, a: m.apply(vv, a)  # noqa: E731
+    qf, bundle, act_qp = quantize_forward(fwd, v, [x], mode="int8")
+    ref = np.asarray(jax.jit(fwd)(v, jnp.asarray(x)))
+    got = np.asarray(jax.jit(qf)(bundle, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 0.05
+    assert np.abs(got - ref).mean() / scale < 0.01
+    assert list(act_qp) == [""]  # the module itself is the one layer
+
+
+def test_conv_transpose_overlapping_stays_fp():
+    """k != s transposed convs (overlapping taps) are not quantized."""
+    import flax.linen as nn
+
+    m = nn.ConvTranspose(features=8, kernel_size=(3, 3), strides=(2, 2))
+    x = RNG.normal(0, 1, (1, 6, 6, 4)).astype(np.float32)
+    v = m.init(jax.random.PRNGKey(3), jnp.asarray(x))
+    fwd = lambda vv, a: m.apply(vv, a)  # noqa: E731
+    ranges = collect_ranges(fwd, v, [x])
+    assert ranges == {}
 
 
 def test_fakequant_matches_int8_semantics():
@@ -238,3 +271,52 @@ def test_mixed_precision_unet_hooks():
     assert np.isfinite(out).all()
     out_fq = np.asarray(q.forward(jnp.asarray(batches[0]), mode="fakequant"))
     assert np.abs(out - out_fq).max() < 1e-2
+
+
+def test_mmse_calibration_shrinks_outlier_envelope():
+    """MMSE range search (reference quantized_algorithm='mmse',
+    README.md:3139): on an outlier-heavy distribution the chosen range must
+    be tighter than min/max and give lower quantize-dequantize MSE."""
+    from lanetpu.quant.qtensor import asymmetric_qparams, mmse_combine, \
+        mmse_stats
+
+    # Regime where clipping rare outliers is MSE-optimal: the clip loss is
+    # f*(M-aM)^2 (f = outlier fraction) vs a bulk-resolution gain
+    # quadratic in the range — shrink wins when f is small enough.
+    rng = np.random.default_rng(11)
+    h = rng.normal(0, 1, 400_000).astype(np.float32)
+    h[0], h[1] = 40.0, -40.0  # 2 outliers in 400k samples
+    lo, hi, mse = jax.jit(mmse_stats)(jnp.asarray(h))
+    flo, fhi = mmse_combine([(float(lo), float(hi), np.asarray(mse))])
+    assert float(hi) == 40.0 and float(lo) == -40.0
+    assert fhi < 30.0 and flo > -30.0  # envelope shrunk
+
+    def qdq_mse(rlo, rhi):
+        qp = asymmetric_qparams(rlo, rhi)
+        q = np.clip(np.round(h / qp.scale) + qp.zero_point, -128, 127)
+        return float(np.mean(((q - qp.zero_point) * qp.scale - h) ** 2))
+
+    assert qdq_mse(flo, fhi) < qdq_mse(float(lo), float(hi)) / 1.3
+
+
+def test_collect_ranges_mmse_end_to_end():
+    """collect_ranges(method='mmse') yields usable ranges: the quantized
+    forward still tracks fp within the parity gate."""
+    from lanetpu.quant.generic import make_quantized_forward, \
+        quantize_variables
+
+    m, v = _unet()
+    fwd = lambda vv, x: m.apply(vv, x, train=False)  # noqa: E731
+    batches = [RNG.normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+               for _ in range(2)]
+    ranges = collect_ranges(fwd, v, batches, method="mmse")
+    assert ranges  # every quantizable layer covered
+    for lo, hi in ranges.values():
+        assert lo <= hi
+    qarrays, act_qp = quantize_variables(v, ranges)
+    bundle = {"fp": v, "q": qarrays}
+    x = jnp.asarray(batches[0])
+    out_fp = np.asarray(jax.nn.sigmoid(jax.jit(fwd)(v, x)))
+    out_q = np.asarray(jax.nn.sigmoid(jax.jit(
+        make_quantized_forward(fwd, act_qp, "int8"))(bundle, x)))
+    assert np.abs(out_fp - out_q).mean() < 0.05

@@ -1,0 +1,101 @@
+"""Real-data gates: the shipped artifacts scored on the reference's own
+published real frames (eval.real), not the synthetic generator.
+
+Measured round-3 baselines (parity tier, CPU): normal_raw IoU 0.682,
+IPM-frame IoU 0.696, golden-frame production path IoU 0.505 (before wedge
+augmentation), warp trapezoid IoU 0.999, condition stability 0.65-0.84.
+Gates carry margin below the measured values; they exist to stop real-frame
+quality from silently regressing, and get tightened as retraining lifts
+the numbers (artifacts/round3_report.json holds the full table).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from lanetpu.eval import real
+
+pytestmark = pytest.mark.skipif(
+    not real.assets_present(), reason="reference demo assets not mounted")
+
+ART = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+
+
+def _segmenter(path, quantized=False):
+    from lanetpu.core.config import PipelineConfig
+    from lanetpu.runtime.engine import build_apply_fn, load_engine
+    from lanetpu.runtime.lane import LaneSegmenter
+
+    full = os.path.join(ART, path)
+    if not os.path.exists(full):
+        pytest.skip(f"artifact {path} not present")
+    module, variables, meta = load_engine(full, backend="cpu")
+    kwargs = {}
+    if quantized:
+        kwargs["forward_fn"] = build_apply_fn(module, meta)
+    return LaneSegmenter(module=module, variables=variables,
+                         config=PipelineConfig(backend="cpu",
+                                               compute_dtype="float32",
+                                               use_mxu_resample=False),
+                         **kwargs)
+
+
+def test_published_pair_mismatch_is_measured():
+    """The published normal_raw/normal_unet pair are different video
+    instants: the raw frame's own photometric lanes score ~0 IoU against
+    the published mask. This fact shapes the scoring design (module
+    docstring of eval.real); assert it so an asset change resurfaces it."""
+    c = real.published_mask_consistency()
+    assert c["iou"] < 0.05, c
+
+
+def test_ipm_homography_matches_published_trapezoid():
+    """The warp's valid-region geometry is frame-invariant and must match
+    the published IPM warp almost exactly."""
+    s = real.ipm_warp_score()
+    assert s["iou"] >= 0.99, s
+
+
+@pytest.mark.parametrize("path,quant,gate", [
+    # gates = measured round-3 values minus margin (parity 0.682/0.696,
+    # s2d4 0.336/0.328 pre-wedge-retraining); tightened as retraining lands
+    ("lane_unet/best_model.ltpu", False, 0.60),
+    ("lane_unet/model_int8.ltpu", True, 0.55),
+    ("lane_unet_s2d4/best_model.ltpu", False, 0.30),
+])
+def test_real_birdseye_quality(path, quant, gate):
+    """Lane IoU vs photometric truth on BOTH real bird's-eye frames."""
+    seg = _segmenter(path, quantized=quant)
+    scores = real.birdseye_frame_scores(seg)
+    for frame, s in scores.items():
+        assert s["iou"] >= gate, (path, frame, s)
+
+
+def test_real_golden_production_path():
+    """The bundled real camera frame through warp->segment (the production
+    order) vs the warped frame's photometric truth."""
+    seg = _segmenter("lane_unet/best_model.ltpu")
+    s = real.golden_warped_score(seg)
+    assert s["iou"] >= 0.40, s
+
+
+def test_real_condition_stability():
+    """Prediction stability across the reference's scene axes on the real
+    frame: no condition may collapse."""
+    seg = _segmenter("lane_unet/best_model.ltpu")
+    scores = real.condition_stability_score(seg)
+    assert set(scores) == {"strong_light", "dim_light", "wb_yellow",
+                           "wb_blue", "shadow"}
+    for cond, s in scores.items():
+        assert s["iou"] >= 0.55, (cond, s)
+
+
+def test_photometric_truth_sane():
+    """The photometric truth itself: thin bright stripes, plausible area,
+    inside the valid region."""
+    frames = real.demo_frames()
+    for name in ("normal_raw", "ipm"):
+        t = real.photometric_lane_truth(frames[name])
+        assert 0.005 < t.mean() < 0.08, (name, t.mean())
+        assert not (t & ~real.valid_region(frames[name])).any()
