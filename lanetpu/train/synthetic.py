@@ -51,6 +51,44 @@ def _cast_shadow(img: np.ndarray, rng: np.random.Generator):
     return img
 
 
+def _sample_wedge_params(rng: np.random.Generator) -> tuple:
+    """Black IPM warp-border wedges: decision + geometry.
+
+    Production frames reach the model through the perspective warp, which
+    leaves V-shaped invalid (black) regions at the bottom corners — every
+    real bird's-eye frame the reference publishes shows them
+    (assets/demo/normal_raw.jpg, IPM.jpg). Round-3 real-frame scoring
+    found the model, never having seen wedges, hallucinating lane pixels
+    along the black border (golden-frame production-path IoU 0.51); this
+    augmentation teaches border = background. Geometry randomized around
+    the real trapezoid: each wedge's hypotenuse runs from the side edge at
+    30-70% height down to 30-70% of the bottom edge.
+
+    Sampled at a scene-independent point in the RNG stream (scene branches
+    consume different draw counts, and the wedge decision must not flip
+    between forced scene renders of one index)."""
+    return (rng.random() < 0.35,
+            rng.uniform(0.3, 0.7), rng.uniform(0.3, 0.5),
+            rng.uniform(0.3, 0.7), rng.uniform(0.5, 0.7),
+            rng.uniform(0.0, 5.0))
+
+
+def _apply_wedges(img: np.ndarray, mask: np.ndarray, params: tuple):
+    _, fy_l, fx_l, fy_r, fx_r, black = params
+    h, w = img.shape[:2]
+    yy, xx = np.mgrid[:h, :w].astype(np.float32)
+    y_l, x_lc = fy_l * h, fx_l * w
+    t = np.clip(xx / max(x_lc, 1.0), 0.0, 1.0)
+    left = (xx <= x_lc) & (yy >= y_l + (h - y_l) * t)
+    y_r, x_rc = fy_r * h, fx_r * w
+    t = np.clip((w - 1 - xx) / max(w - 1 - x_rc, 1.0), 0.0, 1.0)
+    right = (xx >= x_rc) & (yy >= y_r + (h - y_r) * t)
+    wedge = left | right
+    img[wedge] = black
+    mask[wedge] = False
+    return img, mask
+
+
 def _rain_overlay(img: np.ndarray, rng: np.random.Generator):
     """Specular rain: bright streaks + droplet highlights + wet-sheen noise."""
     h, w = img.shape[:2]
@@ -101,10 +139,14 @@ def generate_sample(index: int, seed: int = 42, image_size=(224, 224),
         scene = str(rng.choice(SCENES, p=_SCENE_PROBS))
     assert scene in SCENES, f"unknown scene {scene!r}"
 
-    # Track background: dark blue-ish cloth with noise
+    # Track background: blue-ish cloth with noise. The range spans dark
+    # competition cloth up to the light-blue floor of the reference's real
+    # frames (normal_raw.jpg floor ~ RGB(100, 120, 170)); round-3 widened
+    # the bright end after real-frame scoring.
     base = np.array([
-        rng.uniform(15, 60), rng.uniform(25, 80), rng.uniform(60, 140)
+        rng.uniform(15, 105), rng.uniform(25, 125), rng.uniform(60, 190)
     ])  # RGB, bluish
+    base = np.minimum(base, base[2] - np.array([12.0, 6.0, 0.0]))
     img = np.ones((h, w, 3), np.float32) * base
     img += rng.normal(0, rng.uniform(2, 8), size=(h, w, 3))
 
@@ -116,7 +158,9 @@ def generate_sample(index: int, seed: int = 42, image_size=(224, 224),
     n_lines = rng.integers(1, 4)
     for _ in range(n_lines):
         xs = _quadratic_lane(h, w, rng, min_c, max_c)
-        width = rng.uniform(0.02, 0.06) * w
+        # lower bound 0.008: the reference's real lane stripes are ~1% of
+        # the frame width (normal_raw.jpg), thinner than round-2's 2% floor
+        width = rng.uniform(0.008, 0.06) * w
         line = np.zeros((h, w), bool)
         _draw_line(line, xs, width)
         brightness = rng.uniform(170, 255)
@@ -132,6 +176,10 @@ def generate_sample(index: int, seed: int = 42, image_size=(224, 224),
         yy, xx = np.ogrid[:h, :w]
         blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r**2
         img[blob & ~mask] = rng.uniform(140, 200)
+
+    # Wedge decision drawn HERE (scene-independent stream position; see
+    # _sample_wedge_params) but painted after lighting below
+    wedge_params = _sample_wedge_params(rng)
 
     # Scene-specific occlusion/weather (mask is unchanged: lanes under
     # shadow or rain remain ground truth, like the reference's real scenes)
@@ -151,6 +199,13 @@ def generate_sample(index: int, seed: int = 42, image_size=(224, 224),
     wb = rng.uniform(0.85, 1.15, size=3)
     img = img * gain * wb
 
+    # IPM warp-border wedges on a fraction of samples (production frames
+    # carry them; painted after lighting — true warp borders are exact
+    # black regardless of exposure)
+    wedged = bool(wedge_params[0])
+    if wedged:
+        img, mask = _apply_wedges(img, mask, wedge_params)
+
     # Box blur: always for the "blur" bucket, occasionally elsewhere (mild)
     blurred = scene == "blur" or rng.random() < 0.15
     if blurred:
@@ -165,7 +220,7 @@ def generate_sample(index: int, seed: int = 42, image_size=(224, 224),
     mask = mask.astype(np.float32)[..., None]
     if return_meta:
         meta = {"gain": float(gain), "wb": wb.tolist(), "blurred": blurred,
-                "scene": scene}
+                "scene": scene, "wedged": wedged}
         return img, mask, meta
     return img, mask
 

@@ -129,12 +129,38 @@ class Trainer:
             meta.update(extra)
         save_checkpoint(path, variables, meta)
 
+    def warmup(self, verbose: bool = True):
+        """Compile the train + eval steps on one tiny-but-real batch BEFORE
+        the epoch loop, with prints on both sides — on remote/tunneled
+        backends the first train-step compile can take many minutes of
+        local silence, which is otherwise indistinguishable from a hung
+        client (round-3 lesson: a legitimate compile was killed as a
+        'wedge' twice)."""
+        import time as _t
+
+        batches = self.train_ds.batches(self.cfg.batch_size, shuffle=False)
+        imgs, masks = next(iter(batches))
+        # exact same preprocessing as train_epoch so the program is the one
+        # the epoch loop will reuse (a different shape/dtype would compile
+        # a second, wasted program)
+        x, y = augment_batch(imgs, masks, jax.random.PRNGKey(0))
+        if verbose:
+            print("compiling train step (first call; minutes-long remote "
+                  "compiles are normal here)...", flush=True)
+        t0 = _t.perf_counter()
+        state, _ = self._train_step(self.state, x, y)
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0][..., :1])
+        if verbose:
+            print(f"train step compiled in {_t.perf_counter() - t0:.1f}s",
+                  flush=True)
+
     def fit(self, epochs: int | None = None, verbose: bool = True) -> dict:
         """Run the full loop. Returns {best_dice, best_epoch, history}."""
         cfg = self.cfg
         epochs = epochs or cfg.epochs
         rng = np.random.default_rng(cfg.seed)
         best_dice, best_epoch, since_best = -1.0, -1, 0
+        self.warmup(verbose)
 
         for epoch in range(epochs):
             t0 = time.time()
