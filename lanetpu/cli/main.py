@@ -119,7 +119,7 @@ def cmd_train_detect(args):
     result = train_yolo(num_classes=args.num_classes,
                         img_size=(args.img_size, args.img_size),
                         epochs=args.epochs, save_path=args.output,
-                        data=data)
+                        data=data, hard=getattr(args, "hard", False))
     print(json.dumps({"final_loss": result["history"][-1]["loss"],
                       "output": args.output}))
 
@@ -447,6 +447,9 @@ def build_parser():
                     help="image directory for --coco-json "
                          "(default: next to the JSON)")
     sp.add_argument("--max-objects", type=int, default=8)
+    sp.add_argument("--hard", action="store_true",
+                    help="train on the de-saturated scene distribution "
+                         "(clutter, distractors, truncation, 3x scale)")
     sp.add_argument("-o", "--output", default="yolo_model.ltpu")
     sp.set_defaults(fn=cmd_train_detect)
 

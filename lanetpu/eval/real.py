@@ -72,7 +72,38 @@ def mask_iou_dice(pred: np.ndarray, truth: np.ndarray) -> dict:
     union = np.logical_or(p, t).sum()
     denom = p.sum() + t.sum()
     return {"iou": float(inter / union) if union else 1.0,
-            "dice": float(2 * inter / denom) if denom else 1.0}
+            "dice": float(2 * inter / denom) if denom else 1.0,
+            "precision": float(inter / p.sum()) if p.sum() else 1.0,
+            "recall": float(inter / t.sum()) if t.sum() else 1.0}
+
+
+def centerline_recall(pred: np.ndarray, truth: np.ndarray,
+                      tol_px: int = 5) -> float:
+    """Fraction of per-row truth stripe segments whose CENTER falls within
+    ``tol_px`` columns of a predicted pixel in the same row.
+
+    IoU against a photometric truth is width-sensitive: the brightness
+    threshold catches the JPEG/blur halo around each stripe while a model
+    trained on exact-width masks marks the core, so a perfectly centered
+    but thinner prediction scores poorly. What the downstream controller
+    consumes (reference src/unet_ros_node.py mask -> per-row lane center
+    -> PID) is the stripe CENTER, so "was each stripe found where it is"
+    is the application-relevant recall."""
+    p, t = pred.astype(bool), truth.astype(bool)
+    found = total = 0
+    for row_t, row_p in zip(t, p):
+        xs = np.flatnonzero(row_t)
+        if not len(xs):
+            continue
+        # split the row's truth into contiguous stripe segments
+        brk = np.flatnonzero(np.diff(xs) > 1)
+        pcols = np.flatnonzero(row_p)
+        for seg in np.split(xs, brk + 1):
+            total += 1
+            c = int(seg.mean())
+            if len(pcols) and np.abs(pcols - c).min() <= tol_px:
+                found += 1
+    return float(found / total) if total else 1.0
 
 
 def valid_region(img: np.ndarray, thr: int = 8) -> np.ndarray:
@@ -204,7 +235,20 @@ def golden_warped_score(segmenter, threshold: float = 0.5) -> dict:
     warped = np.asarray(warp_perspective(
         jnp.asarray(cam[None]), jnp.asarray(m), cfg.ipm_output_size)[0])
     truth = photometric_lane_truth(warped, white_thr=140)
-    return mask_iou_dice((mask > 127) & valid_region(warped), truth)
+    pred = (mask > 127) & valid_region(warped)
+    out = mask_iou_dice(pred, truth)
+    # The IPM far field magnifies distant pixels enormously: glare and
+    # background smear into broad bright blobs that the photometric
+    # threshold counts as "lane", so the raw IoU under-states near-field
+    # quality. Report the bottom-half (near-field) scores — the rows the
+    # controller actually steers from — and the centerline recall.
+    h = warped.shape[0]
+    near = mask_iou_dice(pred[h // 2:], truth[h // 2:])
+    out["near_field"] = near
+    out["centerline_recall"] = centerline_recall(pred, truth)
+    out["pred_px"] = int(pred.sum())
+    out["truth_px"] = int(truth.sum())
+    return out
 
 
 def condition_stability_score(segmenter, threshold: float = 0.5) -> dict:
