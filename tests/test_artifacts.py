@@ -131,7 +131,7 @@ def test_lane_unet_golden_frame_and_int8_parity(lane_segmenter):
     # s2d2: 3.0x parity throughput at near-parity quality
     ("lane_unet_s2d", 2, 0.98, 0.98),
     # s2d4 (wide, 120-epoch schedule): 4.9x parity throughput at
-    # val Dice 0.9865 on the round-3 (wedge/bright/thin-line) distribution
+    # val Dice 0.9895 on the round-3 (wedge/bright/thin-line) distribution
     ("lane_unet_s2d4", 4, 0.98, 0.98),
 ])
 def test_lane_unet_s2d_artifact(name, s2d, meta_gate, recheck_gate,
