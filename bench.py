@@ -22,6 +22,7 @@ Prints exactly one JSON line on stdout.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -339,6 +340,26 @@ def main():
         parity_fps = bs / ((time.perf_counter() - t0) / 60)
         log(f"parity topology: {parity_fps:.0f} fps")
 
+    # Fused three-model fast tier (the reference runs its three model
+    # families as separate NPU nodes; here they are ONE device program:
+    # s2d4 U-Net + ResNet18 regressor + hard-set YOLO, pipeline/multimodel)
+    fused_fps = None
+    root = os.path.dirname(os.path.abspath(__file__))
+    fused_paths = [os.path.join(root, "artifacts", p) for p in
+                   ("lane_unet_s2d4/best_model.ltpu",
+                    "points_xcoords_r18.ltpu", "yolo_hard.ltpu")]
+    if all(os.path.exists(p) for p in fused_paths):
+        try:
+            from lanetpu.pipeline.multimodel import MultiModelPipeline
+
+            mm = MultiModelPipeline.from_checkpoints(*fused_paths,
+                                                     config=cfg)
+            rep = mm.benchmark(batch_size=256, num_runs=30)
+            fused_fps = rep["fps"]
+            log(f"fused 3-model fast tier: {fused_fps:.0f} fps @256")
+        except Exception as exc:
+            log(f"fused-stack bench skipped: {exc}")
+
     baseline_fps = 122.0  # RK3588 NPU INT8, model-only (README.md:4224)
     result = {
         "metric": "224x224 frames/sec/chip (frame->mask->IPM)",
@@ -360,6 +381,8 @@ def main():
     }
     if parity_fps is not None:
         result["parity_topology_fps"] = round(parity_fps, 1)
+    if fused_fps is not None:
+        result["fused_stack_fps"] = round(fused_fps, 1)
     print(json.dumps(result))
 
 
