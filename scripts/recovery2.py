@@ -173,48 +173,59 @@ def stage_unet_s2d2():
     _recover_unet("unet_s2d2", "artifacts/lane_unet_s2d", s2d=2)
 
 
-def stage_xcoords_r50():
+def _recover_points(mode, artifact_base, epochs=60):
+    """Generic replace-if-better recovery for a point-regressor tier."""
     from lanetpu.quant.pipeline import quantize_checkpoint
     from lanetpu.runtime.engine import make_deploy_artifact
     from lanetpu.train.points_task import train_points
 
     _cache()
-    scratch = "artifacts/_recovery_xcoords_r50.ltpu"
+    key = f"{mode}_r50"
+    scratch = f"artifacts/_recovery_{key}.ltpu"
     t0 = time.time()
-    result = train_points(mode="xcoords", depth=50, epochs=60,
+    result = train_points(mode=mode, depth=50, epochs=epochs,
                           num_train=512, num_val=64, batch_size=16,
                           save_path=scratch)
     wall = round(time.time() - t0, 1)
     full = _load()
-    old = full["points"]["xcoords_r50"]["val_mae"]
+    old = full["points"][key]["val_mae"]
     new = result["final_val_mae"]
-    log(f"xcoords_r50: MAE {new:.4f} (shipped {old:.4f}), {wall}s")
-    entry = {"val_mae": new, "wall_s": wall, "recipe": "60ep/512"}
+    log(f"{key}: MAE {new:.4f} (shipped {old:.4f}), {wall}s")
+    entry = {"val_mae": new, "wall_s": wall, "recipe": f"{epochs}ep/512"}
     if new < old:
-        shutil.copy2(scratch, "artifacts/points_xcoords.ltpu")
-        rep = quantize_checkpoint("artifacts/points_xcoords.ltpu",
-                                  "artifacts/points_xcoords_int8.ltpu")
-        dep = "artifacts/points_xcoords_int8_deploy.ltpu"
+        shutil.copy2(scratch, f"artifacts/{artifact_base}.ltpu")
+        rep = quantize_checkpoint(f"artifacts/{artifact_base}.ltpu",
+                                  f"artifacts/{artifact_base}_int8.ltpu")
+        dep = f"artifacts/{artifact_base}_int8_deploy.ltpu"
         if os.path.exists(dep):
             os.remove(dep)
-        make_deploy_artifact("artifacts/points_xcoords_int8.ltpu", dep)
+        make_deploy_artifact(f"artifacts/{artifact_base}_int8.ltpu", dep)
         rep["deploy_bytes"] = os.path.getsize(dep)
-        full["quant_points"]["points_xcoords"] = rep
-        full["points"]["xcoords_r50"] = entry
-        log("xcoords_r50: replaced + requantized")
+        full["quant_points"][f"points_{mode}"] = rep
+        full["points"][key] = entry
+        log(f"{key}: replaced + requantized")
     else:
         entry["kept_shipped"] = True
-        full["points"]["xcoords_r50_recovery_attempt"] = entry
-        log("xcoords_r50: kept shipped artifact")
+        full["points"][f"{key}_recovery_attempt"] = entry
+        log(f"{key}: kept shipped artifact")
     _save(full)
     if os.path.exists(scratch):
         os.remove(scratch)
+
+
+def stage_xcoords_r50():
+    _recover_points("xcoords", "points_xcoords")
+
+
+def stage_centerline_r50():
+    _recover_points("centerline", "points_centerline")
 
 
 STAGES = {
     "unet_parity": stage_unet_parity,
     "unet_s2d2": stage_unet_s2d2,
     "xcoords_r50": stage_xcoords_r50,
+    "centerline_r50": stage_centerline_r50,
 }
 
 if __name__ == "__main__":
