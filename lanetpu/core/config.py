@@ -159,6 +159,10 @@ class TrainConfig:
     synthetic: bool = True  # reference dataset is not shipped; generate one
     num_train: int = 512
     num_val: int = 64
+    # pseudo-labeled real-frame crops mixed into the synthetic train set
+    # (train.realpool; 0 = synthetic only). The golden eval frame is never
+    # in the pool.
+    real_pool: int = 0
 
     # model
     in_channels: int = 3

