@@ -121,28 +121,46 @@ def render_detection_sample(index: int, seed: int = 42, image_size=(256, 256),
     non-class colors (rings/triangles, no ground truth), 3x the scale
     range (0.06-0.5 vs 0.15-0.4), edge-truncated objects (clipped boxes,
     kept if >=25% visible), more objects (up to 7), deeper overlap
-    (occlusion cap 0.45), and per-object color jitter."""
+    (occlusion cap 0.45), and per-object color jitter.
+
+    ``hard="v2"`` (or 2) is the round-4 re-hardening — the hard set
+    saturated at mAP50 0.995 once the detector was trained on it
+    (artifacts/round3_report.json: yolo_hard). On top of hard:
+    same-class pairs may overlap to 0.65 (occlusion between same-class
+    objects defeats per-class NMS), the scale floor drops to ~9 px
+    (sub-16-px instances), and a global lighting draw (gain 0.55-1.45 +
+    color cast) varies exposure scene-to-scene."""
     h, w = image_size
+    v2 = hard in (2, "v2")
+    hard = bool(hard)
     rng = np.random.default_rng(np.random.SeedSequence([seed, index]))
     if hard:
         max_objects = max(max_objects, 7)
         max_occlusion = max(max_occlusion, 0.45)
         img = _clutter_background(rng, h, w)
-        size_range, jitter = (0.06, 0.5), 20.0
+        size_range, jitter = ((0.035, 0.5), 25.0) if v2 else ((0.06, 0.5),
+                                                             20.0)
     else:
         img = rng.normal(110, 25, (h, w, 3)).clip(0, 255)
         size_range, jitter = (0.15, 0.4), 0.0
 
-    def _coverage(b, others):
+    def _coverage(b, others, other_cls=None, cls=None):
+        """Worst mutual-coverage vs existing boxes; with classes given,
+        same-class pairs are reported separately (v2 allows them deeper)."""
         x1, y1, x2, y2 = b
         area = (x2 - x1) * (y2 - y1)
-        worst = 0.0
-        for o in others:
+        worst = worst_same = 0.0
+        for j, o in enumerate(others):
             ix = max(0, min(x2, o[2]) - max(x1, o[0]))
             iy = max(0, min(y2, o[3]) - max(y1, o[1]))
             oarea = (o[2] - o[0]) * (o[3] - o[1])
-            worst = max(worst, ix * iy / area, ix * iy / oarea)
-        return worst
+            cov = max(ix * iy / area, ix * iy / oarea)
+            if other_cls is not None and cls is not None \
+                    and other_cls[j] == cls:
+                worst_same = max(worst_same, cov)
+            else:
+                worst = max(worst, cov)
+        return worst, worst_same
 
     n = int(rng.integers(1, max_objects + 1))
     boxes, classes = [], []
@@ -151,8 +169,18 @@ def render_detection_sample(index: int, seed: int = 42, image_size=(256, 256),
         size = int(rng.uniform(*size_range) * min(h, w))
         size = max(size, 8)
         placed = None
+        # v2: bias a third of draws next to an existing same-class object
+        # so deep same-class occlusion actually occurs (random placement
+        # almost never produces it)
+        same_idx = [j for j, c in enumerate(classes) if c == cls]
+        crowd = v2 and same_idx and rng.random() < 0.5
         for _try in range(20):
-            if hard:  # centers may fall near the edge: truncated objects
+            if crowd:
+                ax1, ay1, ax2, ay2 = boxes[same_idx[0]]
+                cx = (ax1 + ax2) / 2 + rng.uniform(-0.8, 0.8) * size
+                cy = (ay1 + ay2) / 2 + rng.uniform(-0.8, 0.8) * size
+                x1, y1 = int(cx - size / 2), int(cy - size / 2)
+            elif hard:  # centers may fall near the edge: truncated objects
                 x1 = int(rng.uniform(-0.4 * size, w - 0.6 * size))
                 y1 = int(rng.uniform(-0.4 * size, h - 0.6 * size))
             else:
@@ -165,7 +193,9 @@ def render_detection_sample(index: int, seed: int = 42, image_size=(256, 256),
                    / float(size * size))
             if vis < 0.25:
                 continue  # hopelessly truncated: resample
-            if _coverage(clipped, boxes) <= max_occlusion:
+            cov, cov_same = _coverage(clipped, boxes, classes, cls)
+            same_cap = 0.65 if v2 else max_occlusion
+            if cov <= max_occlusion and cov_same <= same_cap:
                 placed = (cand, clipped)
                 break
         if placed is None:
@@ -182,11 +212,15 @@ def render_detection_sample(index: int, seed: int = 42, image_size=(256, 256),
             x1 = int(rng.uniform(0, w - size))
             y1 = int(rng.uniform(0, h - size))
             cand = (x1, y1, x1 + size, y1 + size)
-            if _coverage(cand, boxes) > 0.3:
+            if _coverage(cand, boxes)[0] > 0.3:
                 continue  # distractors must not bury real objects
             c = _DISTRACTOR_COLORS[int(rng.integers(len(_DISTRACTOR_COLORS)))]
             _paint_shape(img, rng, x1, y1, x1 + size, y1 + size, c,
                          "ring" if rng.random() < 0.5 else "triangle")
+    if v2:  # scene-level exposure/cast variation (lighting robustness axis)
+        gain = rng.uniform(0.55, 1.45)
+        cast = rng.uniform(0.82, 1.18, size=3)
+        img = (img * gain * cast).clip(0, 255)
     return (img.astype(np.uint8), np.array(boxes, np.float32),
             np.array(classes, np.int64))
 
