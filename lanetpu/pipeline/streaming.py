@@ -107,6 +107,56 @@ class StreamingRunner:
                                   if self.stats["wall_s"] > 0 else 0.0)
         return dict(self.stats)
 
+    def run_device_ring(self, device_batches: list, rounds: int,
+                        summarize: Callable, sink: Callable | None = None,
+                        warm: bool = True) -> dict:
+        """Device-resident serving loop: frame 'arrivals' come from a ring
+        of pre-staged device buffers (no H2D inside the loop) and each
+        output batch is reduced ON DEVICE by `summarize` (e.g. per-frame
+        lane-pixel count + centroid — the payload the reference's
+        controller actually consumes, src/unet_ros_node.py mask -> lane
+        center -> PID) into a device-side result ring, drained to the host
+        in ONE fetch at the end.
+
+        This is the multi-stream serving configuration: when the frame
+        producer shares the host/fabric with the device (or frames arrive
+        over real NIC/PCIe instead of this dev environment's management
+        tunnel), the runner must sustain compute-rate throughput — this
+        mode proves the runner/loop/fetch machinery itself imposes no
+        ceiling below the compute rate. The host drains the result ring
+        once per window (a 30 Hz consumer reads the freshest slot; the
+        drain cost is one RTT + a tiny copy, amortized over the window).
+
+        summarize: fn(device_output) -> small array [bs, k].
+        Returns the same stats dict as run(), h2d_bytes = 0 by design.
+        """
+        t_prep = time.perf_counter()
+        bs = device_batches[0].shape[0]
+        n = len(device_batches)
+
+        def step(acc, x, i):
+            return acc.at[i].set(summarize(self.device_fn(x)))
+
+        step_jit = jax.jit(step, donate_argnums=(0,))
+        first = summarize(self.device_fn(device_batches[0]))
+        acc = jnp.zeros((rounds,) + tuple(first.shape), first.dtype)
+        if warm:  # compile outside the timed region
+            acc = step_jit(acc, device_batches[0], 0)
+            np.asarray(acc[0, 0])
+
+        t_start = time.perf_counter()
+        for i in range(rounds):
+            acc = step_jit(acc, device_batches[i % n], i)
+        host = np.asarray(acc)  # the single window drain (sync point)
+        wall = time.perf_counter() - t_start
+        if sink is not None:
+            sink(host)
+        stats = {"frames": rounds * bs, "batches": rounds, "wall_s": wall,
+                 "h2d_bytes": 0, "fps": rounds * bs / wall if wall else 0.0,
+                 "h2d_gbps": 0.0, "drain_bytes": int(host.nbytes),
+                 "prep_s": t_start - t_prep}
+        return stats
+
 
 class LaneStreamNode:
     """The ROS lane-segmentation node, re-expressed over channels.
