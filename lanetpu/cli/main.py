@@ -169,6 +169,29 @@ def cmd_eval_real(args):
     print(json.dumps(out))
 
 
+def cmd_baseline(args):
+    """Classical lane baselines (eval.baselines): run HSV / adaptive-HSV /
+    Canny on an image (the reference's follow_line.py threshold path and
+    its README comparison table, README.md:205-226, :4210-4215), or score
+    all baselines on the bundled real frames with --score."""
+    import numpy as np
+
+    from lanetpu.eval.baselines import BASELINES, score_baselines_real
+
+    if args.score:
+        print(json.dumps(score_baselines_real()))
+        return
+    from PIL import Image
+
+    img = np.asarray(Image.open(args.image).convert("RGB"))
+    mask = BASELINES[args.method](img)
+    out = args.output or (args.image.rsplit(".", 1)[0]
+                          + f"_{args.method}.png")
+    Image.fromarray(mask.astype(np.uint8) * 255).save(out)
+    print(json.dumps({"output": out, "method": args.method,
+                      "lane_frac": round(float(mask.mean()), 4)}))
+
+
 def cmd_deploy(args):
     import os
 
@@ -499,6 +522,17 @@ def build_parser():
     sp.add_argument("--conditions", action="store_true",
                     help="also run the photometric-condition stability table")
     sp.set_defaults(fn=cmd_eval_real)
+
+    sp = sub.add_parser("baseline",
+                        help="classical HSV/adaptive-HSV/Canny lane "
+                             "baselines (compare against the U-Net)")
+    sp.add_argument("--image", help="input image (omit with --score)")
+    sp.add_argument("--method", default="hsv",
+                    choices=["hsv", "adaptive_hsv", "canny"])
+    sp.add_argument("--output", help="output mask path")
+    sp.add_argument("--score", action="store_true",
+                    help="score all baselines on the bundled real frames")
+    sp.set_defaults(fn=cmd_baseline)
 
     sp = sub.add_parser("deploy",
                         help="strip+compress an existing int8 .ltpu into "

@@ -54,16 +54,13 @@ def _dilate(m: np.ndarray, k: int) -> np.ndarray:
 
 
 def _erode(m: np.ndarray, k: int) -> np.ndarray:
-    # direct AND-window (not ~dilate(~m): that would pad the complement
-    # with False, treating outside-the-frame as foreground and leaving
-    # un-erodable border blobs)
-    r = k // 2
-    p = np.pad(m, r)
-    out = np.ones_like(m)
-    for dy in range(k):
-        for dx in range(k):
-            out &= p[dy:dy + m.shape[0], dx:dx + m.shape[1]]
-    return out
+    # cv2 parity: erode's default border is constant +inf (outside the
+    # frame counts as foreground), so border-touching stripes keep their
+    # ends — ~dilate(~m) reproduces exactly that. The flip side, also
+    # matching cv2: a blob whose window reaches outside cannot fully
+    # erode, so close+open does NOT remove speckles within k//2 of the
+    # border after closing.
+    return ~_dilate(~m, k)
 
 
 def morph_close_open(mask: np.ndarray, k: int = 5) -> np.ndarray:

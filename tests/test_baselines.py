@@ -49,11 +49,18 @@ def test_morphology_close_open():
     m[8:24, 8:24] = True
     m[12, 12] = False          # pinhole: close fills it
     speck = np.zeros_like(m)
-    speck[2, 2] = True         # 1-px speckle: open drops it
+    # interior 1-px speckle: open drops it (cv2 border semantics keep
+    # speckles within k//2 of the border — see _erode — so place it
+    # clear of the frame edge like cv2 would require)
+    speck[16, 4] = True
     out = morph_close_open(m | speck, k=5)
     assert out[12, 12]
-    assert not out[2, 2]
+    assert not out[16, 4]
     assert out[10:22, 10:22].all()
+    # border-touching stripes keep their full extent (cv2 parity)
+    stripe = np.zeros((32, 32), bool)
+    stripe[:, 10:16] = True
+    assert morph_close_open(stripe, k=5)[:, 12].all()
 
 
 def test_hsv_finds_clean_stripe_and_loses_it_under_wb():

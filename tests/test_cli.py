@@ -72,3 +72,22 @@ def test_cli_camera_graceful_without_hardware(tmp_path, capsys):
     main(["camera", "--device", "99", "--seconds", "0.1"])
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert _json.loads(out)["error"] == "no camera available"
+
+
+def test_cli_baseline(tmp_path, capsys):
+    """`baseline` runs the classical HSV threshold path on an image
+    (the reference's follow_line.py role) and writes a mask."""
+    from PIL import Image
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[...] = (90, 110, 170)
+    img[:, 28:36] = (235, 235, 235)
+    img_path = tmp_path / "frame.png"
+    Image.fromarray(img).save(img_path)
+    out_path = tmp_path / "mask.png"
+    main(["baseline", "--image", str(img_path), "--method", "hsv",
+          "--output", str(out_path)])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["method"] == "hsv" and rep["lane_frac"] > 0.05
+    mask = np.asarray(Image.open(out_path))
+    assert mask[:, 30].all() and not mask[:, 5].any()
