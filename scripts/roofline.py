@@ -49,36 +49,46 @@ def convt(h, w, cin, cout):
 
 
 def unet_stages(side, features, in_ch, unpack):
-    """Stage list for the shipped UNet (models/unet.py): 3 encoder levels
-    with widths `features`, a bottleneck at 2x the deepest width, 3 pools,
-    3 transposed convs, 14 double convs + 1x1 head."""
-    f0, f1, f2 = features
-    fb = 2 * f2
-    s, s2, s4, s8 = side, side // 2, side // 4, side // 8
-    st = [
-        ("enc0a", conv(s, s, in_ch, f0)), ("enc0b", conv(s, s, f0, f0)),
-        ("pool0", pool(s, s, f0)),
-        ("enc1a", conv(s2, s2, f0, f1)), ("enc1b", conv(s2, s2, f1, f1)),
-        ("pool1", pool(s2, s2, f1)),
-        ("enc2a", conv(s4, s4, f1, f2)), ("enc2b", conv(s4, s4, f2, f2)),
-        ("pool2", pool(s4, s4, f2)),
-        ("bota", conv(s8, s8, f2, fb)), ("botb", conv(s8, s8, fb, fb)),
-        ("up2", convt(s8, s8, fb, f2)),
-        ("dec2a", conv(s4, s4, f2 + f2, f2)), ("dec2b", conv(s4, s4, f2, f2)),
-        ("up1", convt(s4, s4, f2, f1)),
-        ("dec1a", conv(s2, s2, f1 + f1, f1)), ("dec1b", conv(s2, s2, f1, f1)),
-        ("up0", convt(s2, s2, f1, f0)),
-        ("dec0a", conv(s, s, f0 + f0, f0)), ("dec0b", conv(s, s, f0, f0)),
-        ("head", conv(s, s, f0, unpack, k=1)),
-    ]
+    """Stage list for the shipped UNet (models/unet.py): N encoder levels
+    with widths `features` (3 for the deployed tiers, 4 for the README
+    preset), a bottleneck at 2x the deepest width, N pools, N transposed
+    convs, double convs + 1x1 head. Stage names follow encoder-level
+    numbering (decN = the full-resolution decoder level)."""
+    n = len(features)
+    fb = 2 * features[-1]
+    sides = [side // (2 ** i) for i in range(n + 1)]
+    st = []
+    prev = in_ch
+    for i, f in enumerate(features):
+        s = sides[i]
+        st += [(f"enc{i}a", conv(s, s, prev, f)),
+               (f"enc{i}b", conv(s, s, f, f)),
+               (f"pool{i}", pool(s, s, f))]
+        prev = f
+    sb = sides[n]
+    st += [("bota", conv(sb, sb, features[-1], fb)),
+           ("botb", conv(sb, sb, fb, fb))]
+    prev = fb
+    for i in reversed(range(n)):
+        f = features[i]
+        s_in, s_out = sides[i + 1], sides[i]
+        st += [(f"up{i}", convt(s_in, s_in, prev, f)),
+               (f"dec{i}a", conv(s_out, s_out, f + f, f)),
+               (f"dec{i}b", conv(s_out, s_out, f, f))]
+        prev = f
+    st.append(("head", conv(side, side, features[0], unpack, k=1)))
     return st
 
 
 TOPOLOGIES = {
-    # name: (stages, measured ms/batch-256 end-to-end from docs)
+    # name: (stages, measured ms/batch-256 end-to-end from docs; None =
+    # bound-only, not yet measured at bs=256)
     "parity": (unet_stages(224, (32, 64, 128), 3, 1), 35.8),
     "s2d2": (unet_stages(112, (32, 64, 128), 12, 4), 12.0),
     "s2d4-wide": (unet_stages(56, (48, 96, 192), 48, 16), 7.2),
+    # the reference's documented 4-level model (README.md:1417-1503):
+    # >=128-wide in 3 of 4 levels — the wide-MFU datapoint
+    "readme-4L": (unet_stages(224, (64, 128, 256, 512), 3, 1), None),
 }
 
 # Non-UNet pipeline stages (MXU-matmul resampling, kernels/resample.py):
@@ -115,7 +125,8 @@ def main():
         ceiling_ms = tot_t * 1e3
         capped_ms = tot_tc * 1e3
         ceiling_mfu = (tot_f / PEAK_TFLOPS) / tot_t
-        achieved_mfu = (tot_f / PEAK_TFLOPS) / (measured_ms / 1e3)
+        achieved_mfu = ((tot_f / PEAK_TFLOPS) / (measured_ms / 1e3)
+                        if measured_ms else None)
         print(f"\n== {name}: {tot_f/B/1e9:.2f} GFLOP/frame, "
               f"{tot_b/B/1e6:.2f} MB/frame min traffic ==")
         print(f"{'stage':8s} {'GFLOP':>8s} {'MB':>8s} {'t_flops':>9s} "
@@ -124,19 +135,25 @@ def main():
             print(f"{sname:8s} {f/1e9:8.1f} {by/1e6:8.1f} "
                   f"{tf*1e3:8.3f}m {tfc*1e3:8.3f}m {tm*1e3:8.3f}m {bound}")
         print(f"pipeline overhead (warp/resize/mask IO): {pipe_t*1e3:.2f} ms")
+        meas = (f"measured {measured_ms:.1f} ms" if measured_ms
+                else "not yet measured at bs=256")
         print(f"ideal roofline: {ceiling_ms:.2f} ms | lane-capped "
-              f"roofline: {capped_ms:.2f} ms | measured {measured_ms:.1f} ms")
-        print(f"ceiling MFU {ceiling_mfu*100:.0f} % | achieved "
-              f"{achieved_mfu*100:.0f} % | vs lane-capped "
-              f"{capped_ms/measured_ms*100:.0f} %")
+              f"roofline: {capped_ms:.2f} ms | {meas}")
+        if achieved_mfu is not None:
+            print(f"ceiling MFU {ceiling_mfu*100:.0f} % | achieved "
+                  f"{achieved_mfu*100:.0f} % | vs lane-capped "
+                  f"{capped_ms/measured_ms*100:.0f} %")
+        else:
+            print(f"ceiling MFU {ceiling_mfu*100:.0f} %")
         out[name] = {"gflop_frame": round(tot_f / B / 1e9, 2),
                      "min_mb_frame": round(tot_b / B / 1e6, 2),
                      "roofline_ms": round(ceiling_ms, 2),
                      "lane_capped_ms": round(capped_ms, 2),
                      "measured_ms": measured_ms,
-                     "ceiling_mfu": round(ceiling_mfu, 3),
-                     "achieved_mfu": round(achieved_mfu, 3),
-                     "vs_lane_capped": round(capped_ms / measured_ms, 3)}
+                     "ceiling_mfu": round(ceiling_mfu, 3)}
+        if achieved_mfu is not None:
+            out[name]["achieved_mfu"] = round(achieved_mfu, 3)
+            out[name]["vs_lane_capped"] = round(capped_ms / measured_ms, 3)
     print("\n" + json.dumps(out))
     return out
 
