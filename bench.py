@@ -211,7 +211,7 @@ def deploy_load_host_mb() -> dict | None:
 
     gc.collect()
     rss0 = host_rss_mb()
-    variables, meta = load_checkpoint(path)
+    meta, variables = load_checkpoint(path)
     rss1 = host_rss_mb()
     n = sum(np.asarray(x).nbytes for x in
             __import__("jax").tree_util.tree_leaves(variables))

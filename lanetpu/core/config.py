@@ -163,6 +163,9 @@ class TrainConfig:
     # (train.realpool; 0 = synthetic only). The golden eval frame is never
     # in the pool.
     real_pool: int = 0
+    # warm-start: initialize params/batch_stats from an .ltpu checkpoint
+    # (continuation training; optimizer state starts fresh)
+    init_checkpoint: str = ""
 
     # model
     in_channels: int = 3

@@ -88,6 +88,16 @@ class Trainer:
         self.state: TrainState = create_train_state(
             self.module, jax.random.PRNGKey(self.cfg.seed), self.cfg,
             steps_per_epoch)
+        if self.cfg.init_checkpoint:
+            # warm start (continuation training): take params/batch_stats
+            # from the checkpoint, keep a fresh optimizer/schedule
+            from lanetpu.runtime.engine import load_checkpoint
+
+            _, variables = load_checkpoint(self.cfg.init_checkpoint)
+            self.state = self.state.replace(
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats",
+                                          self.state.batch_stats))
         self._train_step = jax.jit(make_train_step(self.cfg))
         self._eval_step = jax.jit(make_eval_step(self.cfg))
         self.history: list[dict] = []
