@@ -1,0 +1,114 @@
+"""Round-4 phase 2: continuation training for any lane tier that landed
+under the 0.98 val-Dice gate on the harder round-4 distribution, then
+requant + re-eval.
+
+The round-4 label convention (photometric halo on wide soft stripes) is a
+harder task than round-3's exact-width masks — first 120-epoch runs
+landed parity 0.9817 / s2d2 0.9800 / s2d4 (tbd). Continuation = warm
+start from the shipped checkpoint (TrainConfig.init_checkpoint), lower
+LR, more samples per epoch, replace-only-if-better — the round-3
+recovery-schedule precedent (scripts/s2d4_recovery.py) without paying for
+a from-scratch rerun.
+
+Run on the TPU (single client): python scripts/round4b.py [stage...]
+Stages: continue_all | quant_unet | scenes | real_eval | baselines
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+os.chdir("/root/repo")
+
+import round4 as r4  # noqa: E402
+
+REPORT = "artifacts/round4_report.json"
+TIERS = {
+    "lane_unet": {"stage": "unet", "s2d": 1, "features": (32, 64, 128)},
+    "lane_unet_s2d": {"stage": "unet_s2d2", "s2d": 2,
+                      "features": (32, 64, 128)},
+    "lane_unet_s2d4": {"stage": "unet_s2d4", "s2d": 4,
+                       "features": (48, 96, 192)},
+}
+GATE = 0.981  # continuation target: gate 0.98 plus margin
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def continue_tier(name, spec):
+    from lanetpu.core.config import TrainConfig
+    from lanetpu.train.trainer import Trainer
+
+    r4._cache()
+    with open(REPORT) as f:
+        rep = json.load(f)
+    prev = rep.get(spec["stage"], {}).get("best_dice", 0.0)
+    if prev >= GATE:
+        log(f"{name}: {prev:.4f} >= {GATE}, no continuation needed")
+        return
+    scratch = f"artifacts/_cont_{name}"
+    cfg = TrainConfig(epochs=60, num_train=768, num_val=64,
+                      s2d=spec["s2d"], features=spec["features"],
+                      save_dir=scratch, real_pool=128,
+                      learning_rate=5e-5, warmup_epochs=0,
+                      init_checkpoint=f"artifacts/{name}/best_model.ltpu",
+                      patience=20)
+    t0 = time.time()
+    result = Trainer(cfg).fit()
+    new = result["best_dice"]
+    out = {"prev_dice": prev, "cont_dice": new,
+           "best_epoch": result["best_epoch"],
+           "epochs_run": len(result["history"]),
+           "wall_s": round(time.time() - t0, 1), "recipe": "cont60/768"}
+    if new > prev:
+        shutil.copy2(os.path.join(scratch, "best_model.ltpu"),
+                     f"artifacts/{name}/best_model.ltpu")
+        out["replaced"] = True
+        rep_stage = rep.get(spec["stage"], {})
+        rep_stage["best_dice"] = new
+        rep_stage["recipe"] = "120ep + cont60/768"
+        try:
+            rep_stage["golden"] = r4._quick_golden(f"artifacts/{name}")
+        except Exception as exc:  # noqa: BLE001
+            rep_stage["golden_error"] = str(exc)[:200]
+        r4.record(spec["stage"], rep_stage)
+    else:
+        out["replaced"] = False
+    r4.record(f"cont_{name}", out)
+
+
+def stage_continue_all():
+    for name, spec in TIERS.items():
+        continue_tier(name, spec)
+
+
+STAGES = {
+    "continue_all": stage_continue_all,
+    "quant_unet": r4.stage_quant_unet,
+    "scenes": r4.stage_scenes,
+    "real_eval": r4.stage_real_eval,
+    "baselines": r4.stage_baselines,
+}
+
+
+def main():
+    import traceback
+
+    todo = sys.argv[1:] or list(STAGES)
+    for name in todo:
+        try:
+            log(f"=== stage {name} ===")
+            STAGES[name]()
+        except Exception:
+            traceback.print_exc()
+            r4.record(f"4b_{name}", {"error": traceback.format_exc()[-400:]})
+
+
+if __name__ == "__main__":
+    main()
