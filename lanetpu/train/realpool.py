@@ -98,16 +98,28 @@ class RealCropLaneDataset:
         frame = self._frames[int(rng.integers(len(self._frames)))]
         fh, fw = frame.shape[:2]
         for _ in range(8):  # prefer crops that contain some lane
-            s = int(rng.uniform(160, min(560, fh, fw)))
+            s = int(rng.uniform(112, min(560, fh, fw)))
             y0 = int(rng.integers(0, fh - s + 1))
             x0 = int(rng.integers(0, fw - s + 1))
             crop = frame[y0:y0 + s, x0:x0 + s]
             if photometric_lane_truth(crop).mean() >= 0.005:
                 break
-        if rng.random() < 0.35:
+        deg = rng.random()
+        if deg < 0.30:  # isotropic capture-resolution blur
             crop = np.clip(_lowres_degrade(crop.astype(np.float32),
                                            int(rng.integers(2, 4))),
                            0, 255).astype(np.uint8)
+        elif deg < 0.55:
+            # anisotropic horizontal smear: the golden camera frame's IPM
+            # far field magnifies distant pixels mostly ALONG X (the warp
+            # stretches rows outward), so stripes arrive as wide
+            # soft horizontal blobs — block-mean along x only, factor 3-5
+            f = int(rng.integers(3, 6))
+            c = crop.astype(np.float32)
+            wc = c.shape[1] - c.shape[1] % f
+            small = c[:, :wc].reshape(c.shape[0], wc // f, f, 3).mean(axis=2)
+            c[:, :wc] = np.repeat(small, f, axis=1)
+            crop = np.clip(c, 0, 255).astype(np.uint8)
         truth = photometric_lane_truth(crop)
         img = _condition(crop, rng)
         img = _resize(img, (w, h))
