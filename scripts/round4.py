@@ -326,7 +326,7 @@ def stage_coco_cert():
     ds = CocoDetectionDataset(train_json, img_dir, img_size=(256, 256),
                               max_objects=8)
     t0 = time.time()
-    result = train_yolo(epochs=60, batch_size=16, data=ds, verbose=False,
+    result = train_yolo(epochs=300, batch_size=16, data=ds, verbose=False,
                         save_path=os.path.join(root, "yolo_coco.ltpu"))
     wall_train = round(time.time() - t0, 1)
 

@@ -41,7 +41,7 @@ def log(*a):
     print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
 
 
-def continue_tier(name, spec, epochs=60):
+def continue_tier(name, spec, epochs=40):
     """Warm-start continuation on the upgraded real pool (incl. the
     anisotropic-smear degradation matching the golden far field). Replace
     the shipped artifact when val Dice improves, OR when Dice holds the
