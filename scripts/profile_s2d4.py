@@ -121,6 +121,8 @@ def main():
               f"{ms:7.3f} ms  marginal {ms - prev:7.3f} ms  "
               f"(compile+run {time.time() - t0:.0f}s)", flush=True)
         prev = ms
+        with open("artifacts/s2d4_profile.json", "w") as f:
+            json.dump(results, f, indent=1)  # survive a timeout/kill
 
     # Roofline bounds per stage group (lane-capped), from scripts/roofline.py.
     # roofline names stages enc0a/enc0b/bota/... and numbers decoder levels

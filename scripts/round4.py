@@ -209,9 +209,16 @@ def stage_real_eval():
 def stage_baselines():
     """Classical HSV / adaptive-HSV / Canny baselines on the same real
     frames and scene buckets the U-Net tiers report (reference
-    README.md:4210-4215's comparison table, reproduced)."""
+    README.md:4210-4215's comparison table, reproduced). A "unet" row is
+    scored with the IDENTICAL convention (condition variants vs the clean
+    frame's photometric truth) so the margin table compares like with
+    like."""
+    from lanetpu.core.config import PipelineConfig
+    from lanetpu.eval import real
     from lanetpu.eval.baselines import (score_baselines_real,
                                         score_baselines_scenes)
+    from lanetpu.runtime.engine import load_engine
+    from lanetpu.runtime.lane import LaneSegmenter
 
     real_scores = score_baselines_real()
     scene_scores = score_baselines_scenes(num_samples=70, offset=2048,
@@ -219,6 +226,24 @@ def stage_baselines():
     slim = {}
     for name, rep in scene_scores.items():
         slim[name] = {k: round(v["iou"], 4) for k, v in rep.items()}
+
+    _cache()
+    module, variables, _ = load_engine("artifacts/lane_unet/best_model.ltpu")
+    seg = LaneSegmenter(module=module, variables=variables,
+                        config=PipelineConfig(compute_dtype="float32"))
+    raw = real.demo_frames()["normal_raw"]
+    truth = real.photometric_lane_truth(raw)
+    valid = real.valid_region(raw)
+    conds = real.photometric_conditions(raw)
+    unet_entry = {"conditions": {}}
+    for cname, cimg in conds.items():
+        pred = seg.predict_batch(cimg[None])[0] > 127
+        score = real.mask_iou_dice(pred & valid, truth)
+        if cname == "normal":
+            unet_entry["birdseye_normal_raw"] = score
+        else:
+            unet_entry["conditions"][cname] = score
+    real_scores["unet"] = unet_entry
     record("baselines_real", real_scores)
     record("baselines_scenes", slim)
 
