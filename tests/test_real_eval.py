@@ -1,17 +1,19 @@
 """Real-data gates: the shipped artifacts scored on the reference's own
 published real frames (eval.real), not the synthetic generator.
 
-Measured round-3 values after the wedge retrain (round3_report.json:
-real_eval): bird's-eye IoU vs photometric truth 0.83-0.85 on EVERY tier
-incl. int8 (pre-retrain: parity 0.68, s2d4 0.33), warp trapezoid IoU
-0.999, condition stability 0.74-0.97. Golden-frame production path:
-whole-frame IoU 0.40 (parity) / 0.56 (s2d2) / 0.48 (s2d4), near-field
-precision 0.98-0.99, centerline recall 0.77-0.81 (see
-test_real_golden_production_path for why the decomposition, not
-whole-frame IoU, is gated).
-Gates carry margin below the measured values; they exist to stop real-frame
-quality from silently regressing, and get tightened as retraining lifts
-the numbers (artifacts/round3_report.json holds the full table).
+Measured round-4 values after the halo-label retrain (wide soft stripes,
+photometric-halo label convention, real-crop pool + anisotropic smear —
+round4_report.json: real_eval): bird's-eye IoU vs photometric truth
+0.80-0.83 on every tier incl. int8, warp trapezoid IoU 0.999, condition
+stability 0.886-0.972 (wb_blue was 0.743 in round 3; the per-channel WB
+gain augmentation closed it). Golden-frame production path (the round-4
+target axis): whole-frame IoU 0.55 (parity; was 0.40), near-field IoU
+0.57 (was 0.47), near-field precision 0.987, centerline recall 0.82
+(was 0.77). See test_real_golden_production_path for why the
+decomposition, not whole-frame IoU alone, is gated.
+Gates carry margin below the measured values; they exist to stop
+real-frame quality from silently regressing, and get RAISED as retraining
+lifts the numbers (round-3 -> round-4: every golden gate below went up).
 """
 
 import os
@@ -63,11 +65,13 @@ def test_ipm_homography_matches_published_trapezoid():
 
 
 @pytest.mark.parametrize("path,quant,gate", [
-    # gates = measured round-3 values minus margin; the wedge retrain
-    # lifted every tier to 0.83-0.85 (was: parity 0.68, s2d4 0.33)
-    ("lane_unet/best_model.ltpu", False, 0.75),
-    ("lane_unet/model_int8.ltpu", True, 0.75),
-    ("lane_unet_s2d4/best_model.ltpu", False, 0.75),
+    # gates = measured round-4 values minus margin (parity 0.819/0.817,
+    # int8 within 0.001, s2d4 0.803/0.806 — the halo-label convention
+    # trades ~0.02 of tight-stripe IoU here for the golden-frame
+    # production-path gains gated below)
+    ("lane_unet/best_model.ltpu", False, 0.78),
+    ("lane_unet/model_int8.ltpu", True, 0.78),
+    ("lane_unet_s2d4/best_model.ltpu", False, 0.78),
 ])
 def test_real_birdseye_quality(path, quant, gate):
     """Lane IoU vs photometric truth on BOTH real bird's-eye frames."""
@@ -92,10 +96,13 @@ def test_real_golden_production_path():
     controller steers."""
     seg = _segmenter("lane_unet/best_model.ltpu")
     s = real.golden_warped_score(seg)
-    assert s["near_field"]["precision"] >= 0.90, s  # no hallucinated lanes
-    assert s["near_field"]["iou"] >= 0.40, s
-    assert s["centerline_recall"] >= 0.70, s        # stripes are FOUND
-    assert s["iou"] >= 0.35, s                      # regression floor
+    # round-4 measured: precision 0.987, near IoU 0.569, recall 0.823,
+    # whole-frame 0.554 — every gate RAISED from its round-3 value
+    # (0.90 / 0.40 / 0.70 / 0.35)
+    assert s["near_field"]["precision"] >= 0.95, s  # no hallucinated lanes
+    assert s["near_field"]["iou"] >= 0.52, s
+    assert s["centerline_recall"] >= 0.78, s        # stripes are FOUND
+    assert s["iou"] >= 0.50, s                      # regression floor
 
 
 def test_real_condition_stability():
@@ -106,9 +113,10 @@ def test_real_condition_stability():
     assert set(scores) == {"strong_light", "dim_light", "wb_yellow",
                            "wb_blue", "shadow"}
     for cond, s in scores.items():
-        # measured 0.743 (wb_blue) - 0.968 (shadow) on the wedge-retrained
-        # parity tier (round3_report.json: real_eval.lane_unet.conditions)
-        assert s["iou"] >= 0.70, (cond, s)
+        # round-4 measured 0.886 (wb_blue) - 0.972 (dim_light) on the
+        # parity tier — the per-channel WB gain augmentation lifted
+        # wb_blue from round-3's 0.743; gate raised 0.70 -> 0.84
+        assert s["iou"] >= 0.84, (cond, s)
 
 
 def test_photometric_truth_sane():
