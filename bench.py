@@ -426,7 +426,7 @@ def main():
     # the compute rate = the runner machinery imposes no ceiling)
     try:
         sust_dev = sustained_ondevice(seg, fn, thr, bs=best["batch_size"],
-                                      rounds=40)
+                                      rounds=60)
         log(f"sustained(on-device ring): "
             f"{sust_dev['sustained_ondevice_fps']} fps "
             f"(compute-only pipelined: {best['fps']:.0f})")

@@ -134,20 +134,23 @@ class StreamingRunner:
         bs = device_batches[0].shape[0]
         n = len(device_batches)
 
-        def step(acc, x, i):
-            return acc.at[i].set(summarize(self.device_fn(x)))
-
-        step_jit = jax.jit(step, donate_argnums=(0,))
-        first = summarize(self.device_fn(device_batches[0]))
-        acc = jnp.zeros((rounds,) + tuple(first.shape), first.dtype)
+        # Independent dispatches + one device-side stack + ONE drain.
+        # (A donated-accumulator chain — acc.at[i].set per step — measures
+        # 535 ms/step on the remote axon backend: donation forces a host
+        # round-trip per call. Independent dispatches pipeline at the
+        # compute rate; jnp.stack of the tiny summaries runs on device and
+        # the host fetches one array per window.)
+        step_jit = jax.jit(lambda x: summarize(self.device_fn(x)))
+        stack_jit = jax.jit(lambda *xs: jnp.stack(xs))
         if warm:  # compile outside the timed region
-            acc = step_jit(acc, device_batches[0], 0)
-            np.asarray(acc[0, 0])
+            o = step_jit(device_batches[0])
+            np.asarray(stack_jit(*([o] * rounds))[0, 0])
 
         t_start = time.perf_counter()
+        outs = []
         for i in range(rounds):
-            acc = step_jit(acc, device_batches[i % n], i)
-        host = np.asarray(acc)  # the single window drain (sync point)
+            outs.append(step_jit(device_batches[i % n]))
+        host = np.asarray(stack_jit(*outs))  # single window drain (sync)
         wall = time.perf_counter() - t_start
         if sink is not None:
             sink(host)
