@@ -120,6 +120,15 @@ class PipelineConfig:
 
     model_path: str = ""
     threshold: float = 0.5
+    # Decision threshold for the CAMERA production path (predict_warped:
+    # warp -> segment, reference src/unet_ros_node.py:292-321). Calibrated
+    # on the published real bird's-eye POOL frames (normal_raw + IPM.jpg,
+    # never the golden eval frame): capture/warp smear systematically
+    # weakens per-pixel evidence on this path, and 0.25 maximizes pool IoU
+    # vs photometric truth at precision >= 0.96 (scripts/diag_golden.py
+    # sweep; pool IoU 0.818 -> 0.838 at precision 0.965). The generic
+    # `threshold` above stays the bird's-eye/offline default.
+    warped_threshold: float = 0.25
     input_topic: str = "/image_rect_color"
     output_topic: str = "/mask"
     input_size: tuple = (224, 224)

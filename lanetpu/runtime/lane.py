@@ -258,8 +258,12 @@ class LaneSegmenter:
         return mask, dt
 
     def predict_warped(self, frame_bgr: np.ndarray, threshold: float | None = None):
-        """Raw BGR camera frame -> (bird's-eye mask, time). One device launch."""
-        threshold = self.cfg.threshold if threshold is None else threshold
+        """Raw BGR camera frame -> (bird's-eye mask, time). One device
+        launch. Default threshold is the pool-calibrated camera-path
+        operating point (PipelineConfig.warped_threshold), not the
+        bird's-eye default — see the config field's rationale."""
+        threshold = (self.cfg.warped_threshold if threshold is None
+                     else threshold)
         fn = self._get_jitted("warped")
         t0 = time.perf_counter()
         x = jax.device_put(jnp.asarray(frame_bgr[None], dtype=jnp.uint8), self.device)

@@ -96,13 +96,14 @@ def test_real_golden_production_path():
     controller steers."""
     seg = _segmenter("lane_unet/best_model.ltpu")
     s = real.golden_warped_score(seg)
-    # round-4 measured: precision 0.987, near IoU 0.569, recall 0.823,
-    # whole-frame 0.554 — every gate RAISED from its round-3 value
-    # (0.90 / 0.40 / 0.70 / 0.35)
+    # round-4 measured (halo-label retrain + pool-calibrated camera-path
+    # threshold, PipelineConfig.warped_threshold): precision 0.984, near
+    # IoU 0.616, recall 0.832, whole-frame 0.598 — every gate RAISED from
+    # its round-3 value (0.90 / 0.40 / 0.70 / 0.35)
     assert s["near_field"]["precision"] >= 0.95, s  # no hallucinated lanes
-    assert s["near_field"]["iou"] >= 0.52, s
-    assert s["centerline_recall"] >= 0.78, s        # stripes are FOUND
-    assert s["iou"] >= 0.50, s                      # regression floor
+    assert s["near_field"]["iou"] >= 0.56, s
+    assert s["centerline_recall"] >= 0.79, s        # stripes are FOUND
+    assert s["iou"] >= 0.54, s                      # regression floor
 
 
 def test_real_condition_stability():
