@@ -120,6 +120,36 @@ def test_real_condition_stability():
         assert s["iou"] >= 0.84, (cond, s)
 
 
+def test_centerline_recall_ceiling_is_measured():
+    """Ceiling context for the golden recall gate: even an ORACLE that
+    extracts the warped golden frame's own photometric lanes at the
+    training-label convention (white_thr=150) scores only ~0.875
+    centerline recall against the eval truth (white_thr=140) — on a
+    heavily upscale-smeared frame the metric is that sensitive to the
+    brightness convention alone. The shipped model's 0.832 sits at the
+    level of a thr~160 photometric oracle (0.831), i.e. the residual gap
+    to 1.0 is convention sensitivity, not missed stripes. Assert the
+    measurement so the context stays true if assets or the warp change."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from lanetpu.core.config import PipelineConfig
+    from lanetpu.ops.warp import get_perspective_transform, warp_perspective
+
+    cfg = PipelineConfig()
+    frames = real.demo_frames()
+    if "golden" not in frames:
+        pytest.skip("golden frame not mounted")
+    cam = np.asarray(Image.fromarray(frames["golden"]).resize((640, 480)))
+    m = get_perspective_transform(cfg.ipm_src_points, cfg.ipm_dst_points)
+    warped = np.asarray(warp_perspective(
+        jnp.asarray(cam[None]), jnp.asarray(m), cfg.ipm_output_size)[0])
+    truth = real.photometric_lane_truth(warped, white_thr=140)
+    oracle150 = real.photometric_lane_truth(warped, white_thr=150)
+    cr = real.centerline_recall(oracle150, truth)
+    assert 0.82 <= cr <= 0.93, cr  # measured 0.875
+
+
 def test_photometric_truth_sane():
     """The photometric truth itself: thin bright stripes, plausible area,
     inside the valid region."""
