@@ -171,9 +171,14 @@ class MultiModelPipeline:
 
     def process_batch(self, frames_bgr: np.ndarray,
                       threshold: float | None = None) -> dict:
-        """[N, H, W, 3] uint8 BGR -> {masks, points, detections}."""
+        """[N, H, W, 3] uint8 BGR -> {masks, points, detections}.
+
+        Default threshold is the pool-calibrated camera-path operating
+        point (PipelineConfig.warped_threshold) — this is the same raw
+        camera -> warp -> segment path as LaneSegmenter.predict_warped,
+        and the two must stay consistent (test_single_program_consistency)."""
         h, w = frames_bgr.shape[1:3]
-        thr = jnp.float32(self.cfg.threshold if threshold is None
+        thr = jnp.float32(self.cfg.warped_threshold if threshold is None
                           else threshold)
         mask, pts_raw, boxes, scores, cls = self._jitted(
             self.unet_vars, self.resnet_vars, self.yolo_vars,
