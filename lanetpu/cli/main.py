@@ -181,6 +181,9 @@ def cmd_baseline(args):
     if args.score:
         print(json.dumps(score_baselines_real()))
         return
+    if not args.image:
+        raise SystemExit("lanetpu baseline: --image is required "
+                         "(or use --score for the bundled real frames)")
     from PIL import Image
 
     img = np.asarray(Image.open(args.image).convert("RGB"))

@@ -172,9 +172,29 @@ class TrainConfig:
     # (train.realpool; 0 = synthetic only). The golden eval frame is never
     # in the pool.
     real_pool: int = 0
+    # photometric white threshold for the pool's pseudo-labels. 140 is the
+    # SCORING convention (eval.real.golden_warped_score scores vs truth at
+    # white_thr=140); round 4 trained the pool at 150, which left the model
+    # behaving like a ~thr-160 oracle on golden (recall 0.832 vs the
+    # measured 0.875 ceiling, VERDICT r4 item 1) — train and eval now share
+    # the convention.
+    real_pool_thr: float = 140.0
     # warm-start: initialize params/batch_stats from an .ltpu checkpoint
     # (continuation training; optimizer state starts fresh)
     init_checkpoint: str = ""
+    # knowledge distillation: path to a teacher .ltpu checkpoint whose
+    # sigmoid probabilities become soft targets (loss = (1-alpha) *
+    # hard-label loss + alpha * BCE vs teacher probs). The round-5 s2d
+    # recovery lever: the reduced-resolution tiers failed to reach 0.98
+    # val Dice from hard labels alone (two recovery schedules, VERDICT r4
+    # weak #2); the 0.9817 parity tier's soft targets carry the
+    # inter-pixel structure the halo labels quantize away.
+    distill_checkpoint: str = ""
+    distill_alpha: float = 0.5
+    # TensorBoard scalar export (reference README.md:2304-2320 documents
+    # optional TB logging): directory for event files, "" = disabled.
+    # Written by utils.tbwriter (dependency-free event encoding).
+    tensorboard_dir: str = ""
 
     # model
     in_channels: int = 3

@@ -215,12 +215,16 @@ def birdseye_frame_scores(segmenter, threshold: float = 0.5) -> dict:
     return out
 
 
-def golden_warped_score(segmenter, threshold: float = 0.5) -> dict:
+def golden_warped_score(segmenter, threshold: float | None = None) -> dict:
     """The bundled real CAMERA frame through the PRODUCTION path: IPM warp
     -> segment (reference src/unet_ros_node.py:292-321 order). Scored vs
     the photometric truth of the warped frame. The frame ships at 224x224;
     it is upscaled to the 640x480 camera geometry the homography was
-    calibrated for."""
+    calibrated for.
+
+    ``threshold=None`` scores the production operating point
+    (cfg.warped_threshold, pool-calibrated); pass a value to probe other
+    points."""
     import jax.numpy as jnp
 
     from lanetpu.ops.warp import get_perspective_transform, warp_perspective
@@ -229,7 +233,8 @@ def golden_warped_score(segmenter, threshold: float = 0.5) -> dict:
     if "golden" not in frames:
         return {}
     cam = _resize_rgb(frames["golden"], (640, 480))
-    mask, _ = segmenter.predict_warped(cam[..., ::-1])  # BGR like the camera
+    # BGR like the camera feed
+    mask, _ = segmenter.predict_warped(cam[..., ::-1], threshold=threshold)
     cfg = segmenter.cfg
     m = get_perspective_transform(cfg.ipm_src_points, cfg.ipm_dst_points)
     warped = np.asarray(warp_perspective(

@@ -220,8 +220,15 @@ class LaneSegmenter:
 
     def predict_batch(self, frames_rgb: np.ndarray, threshold: float | None = None,
                       warped_input: bool = False) -> np.ndarray:
-        """[N, H, W, 3] uint8 frames -> [N, H, W] uint8 masks (device-batched)."""
-        threshold = self.cfg.threshold if threshold is None else threshold
+        """[N, H, W, 3] uint8 frames -> [N, H, W] uint8 masks (device-batched).
+
+        Default threshold follows the entry point's operating point: the
+        camera path (warped_input=True — same program as predict_warped)
+        uses the pool-calibrated cfg.warped_threshold, the bird's-eye /
+        offline path uses cfg.threshold."""
+        if threshold is None:
+            threshold = (self.cfg.warped_threshold if warped_input
+                         else self.cfg.threshold)
         kind = "warped" if warped_input else "plain"
         fn = self._get_jitted(kind)
         x = jax.device_put(jnp.asarray(frames_rgb, dtype=jnp.uint8), self.device)
@@ -344,7 +351,8 @@ class LaneSegmenter:
         from lanetpu.utils.timing import time_fn
 
         fn = self._get_jitted("warped" if warped else "plain")
-        thr = jnp.float32(self.cfg.threshold)
+        thr = jnp.float32(self.cfg.warped_threshold if warped
+                          else self.cfg.threshold)
         x = jax.device_put(jnp.asarray(batch), self.device)
         stats = time_fn(fn, self.variables, x, thr, warmup=warmup, runs=num_runs)
         stats["batch_size"] = bs

@@ -31,7 +31,8 @@ from lanetpu.core.config import ResNetConfig
 from lanetpu.models.resnet import FIXED_Y_COORDS, ResNetRegressor
 from lanetpu.ops.normalize import normalize_image
 from lanetpu.runtime.engine import save_checkpoint
-from lanetpu.train.synthetic import SyntheticLaneDataset
+from lanetpu.train.synthetic import (SyntheticLaneDataset, _wedge_region,
+                                     generate_sample)
 
 
 def points_from_mask(mask: np.ndarray, mode: str = "xcoords"):
@@ -67,11 +68,70 @@ def points_from_mask(mask: np.ndarray, mode: str = "xcoords"):
     return labels, valid
 
 
-def _batches(ds: SyntheticLaneDataset, batch_size: int, mode: str,
-             rng: np.random.Generator, shuffle=True) -> Iterator:
-    for imgs, masks in ds.batches(batch_size, shuffle=shuffle, rng=rng):
-        labels, valids = zip(*(points_from_mask(mk, mode) for mk in masks))
-        yield imgs, np.stack(labels), np.stack(valids)
+def xcoords_from_lines(meta: dict, image_size=(224, 224)):
+    """Painted-line 4-x labels (the round-5 xcoords convention).
+
+    The round-4 convention derived the labels from the MASK (mean x of
+    label pixels per row, `points_from_mask`), which weights wide
+    soft-halo stripes by their lighting-dependent halo extent — measured
+    val MAE 0.051 on the halo distribution. What the downstream
+    controller steers on is the painted lane-line CENTER (reference
+    src/resnet50_node.py:25-29, :153-165), a quantity the synthetic
+    generator knows exactly, so labels now come from the true stripe
+    geometry: per fixed row, the mean of the painted line centers that
+    are in-frame and not wedge-occluded. The label is invariant to
+    halo width, blur, degradation, and lighting — the regression target
+    is well-posed again (VERDICT r4 item 3).
+    """
+    h, w = image_size
+    rows = [int(round(y * (h / 685.0))) - 1 for y in FIXED_Y_COORDS]
+    rows = [min(max(r, 0), h - 1) for r in rows]
+    wedge = None
+    if meta.get("wedged") and meta.get("wedge_params") is not None:
+        wedge = _wedge_region((h, w), meta["wedge_params"])
+    labels = np.zeros(len(rows), np.float32)
+    valid = np.zeros(len(rows), np.float32)
+    for i, r in enumerate(rows):
+        centers = []
+        for line in meta.get("lines", ()):
+            x = float(line["xs"][r])
+            if 0.0 <= x <= w - 1:
+                if wedge is not None and wedge[r, int(round(x))]:
+                    continue
+                centers.append(x)
+        if centers:
+            labels[i] = float(np.mean(centers)) / w
+            valid[i] = 1.0
+    return labels, valid
+
+
+def point_label_arrays(ds: SyntheticLaneDataset, mode: str):
+    """Materialize (imgs, labels, valids) for a dataset under the current
+    label convention: xcoords from painted-line geometry (re-rendered with
+    meta — deterministic per (seed, index)), centerline from the mask."""
+    imgs = np.stack([ds[i][0] for i in range(len(ds))])
+    if mode == "xcoords":
+        pairs = []
+        for i in range(len(ds)):
+            _, _, meta = generate_sample(ds.offset + i, ds.seed,
+                                         ds.image_size, return_meta=True)
+            pairs.append(xcoords_from_lines(meta, tuple(ds.image_size)))
+    else:
+        pairs = [points_from_mask(ds[i][1], mode) for i in range(len(ds))]
+    labels, valids = zip(*pairs)
+    return imgs, np.stack(labels), np.stack(valids)
+
+
+def _batches(arrays, batch_size: int, rng: np.random.Generator,
+             shuffle=True) -> Iterator:
+    imgs, labels, valids = arrays
+    order = np.arange(len(imgs))
+    if shuffle:
+        rng.shuffle(order)
+    end = len(imgs) // batch_size * batch_size
+    for i in range(0, end, batch_size):
+        sel = order[i:i + batch_size]
+        yield imgs[sel], labels[sel], valids[sel]
 
 
 def train_points(mode: str = "xcoords", depth: int = 18, epochs: int = 10,
@@ -119,18 +179,20 @@ def train_points(mode: str = "xcoords", depth: int = 18, epochs: int = 10,
                                     image_size=image_size)
     val_ds = SyntheticLaneDataset(num_val, seed=seed + 1,
                                   image_size=image_size, offset=num_train)
+    train_arrays = point_label_arrays(train_ds, mode)
+    val_arrays = point_label_arrays(val_ds, mode)
     rng = np.random.default_rng(seed)
     history = []
     for epoch in range(epochs):
         losses = []
-        for imgs, labels, valid in _batches(train_ds, batch_size, mode, rng):
+        for imgs, labels, valid in _batches(train_arrays, batch_size, rng):
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, jnp.asarray(imgs),
                 jnp.asarray(labels), jnp.asarray(valid))
             losses.append(float(loss))
         maes = [float(eval_step(params, batch_stats, jnp.asarray(i),
                                 jnp.asarray(l), jnp.asarray(v)))
-                for i, l, v in _batches(val_ds, batch_size, mode, rng,
+                for i, l, v in _batches(val_arrays, batch_size, rng,
                                         shuffle=False)]
         record = {"epoch": epoch, "train_loss": float(np.mean(losses)),
                   "val_mae": float(np.mean(maes))}
@@ -146,6 +208,9 @@ def train_points(mode: str = "xcoords", depth: int = 18, epochs: int = 10,
                         {"params": params, "batch_stats": batch_stats},
                         {"arch": "resnet_regressor", "depth": depth,
                          "num_outputs": num_outputs, "mode": mode,
+                         "label_convention": ("painted_line_centers"
+                                              if mode == "xcoords"
+                                              else "mask_mean_x"),
                          "val_mae": history[-1]["val_mae"]})
     return {"history": history, "params": params, "batch_stats": batch_stats,
             "module": module, "final_val_mae": history[-1]["val_mae"]}

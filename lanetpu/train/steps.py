@@ -137,6 +137,62 @@ def make_train_step(cfg: TrainConfig):
     return train_step
 
 
+def make_distill_train_step(cfg: TrainConfig, teacher_fn: Callable):
+    """Knowledge-distillation step: train_step(state, teacher_vars, images,
+    masks) -> (state, metrics).
+
+    ``teacher_fn(teacher_vars, images) -> probs [B, H, W]`` runs the frozen
+    teacher on the SAME augmented batch inside the jitted step (one XLA
+    program: teacher forward + student forward/backward fuse). Loss =
+    (1 - alpha) * cfg hard-label loss + alpha * BCE(student, teacher probs).
+    Teacher variables are threaded as jit ARGUMENTS, not closed over, so
+    they are never embedded as program constants.
+    """
+    alpha = cfg.distill_alpha
+
+    def train_step(state: TrainState, teacher_vars, images, masks):
+        t_prob = jax.lax.stop_gradient(teacher_fn(teacher_vars, images))
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = state.apply_fn(variables, images, train=True, mutable=mutable)
+            logits, new_model_state = (out if mutable else (out, {}))
+            hard_loss, aux = _loss_from_cfg(cfg, logits, masks)
+            s = logits[..., 0].astype(jnp.float32)
+            # soft-target BCE in the numerically stable logit form
+            soft = jnp.mean(jnp.maximum(s, 0.0) - s * t_prob
+                            + jnp.log1p(jnp.exp(-jnp.abs(s))))
+            loss = (1.0 - alpha) * hard_loss + alpha * soft
+            return loss, (aux, soft, new_model_state, logits)
+
+        (loss, (aux, soft, new_model_state, logits)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params))
+        updates, new_opt_state = state.tx.update(grads, state.opt_state,
+                                                 state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_model_state.get("batch_stats", state.batch_stats),
+            opt_state=new_opt_state,
+        )
+        bce, dice = aux
+        metrics = {
+            "loss": loss,
+            "bce": bce,
+            "dice_loss": dice,
+            "distill_bce": soft,
+            "dice": compute_dice_metric(logits, masks),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
 def make_eval_step(cfg: TrainConfig):
     def eval_step(state: TrainState, images, masks):
         variables = {"params": state.params}

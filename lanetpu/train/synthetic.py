@@ -217,6 +217,7 @@ def generate_sample(index: int, seed: int = 42, image_size=(224, 224),
     core = np.zeros((h, w), bool)            # high-coverage stripe cores
     n_lines = rng.integers(1, 4)
     wide_lines = 0
+    line_info = []  # per-line painted geometry (for point-label derivation)
     for _ in range(n_lines):
         xs = _quadratic_lane(h, w, rng, min_c, max_c)
         wide = rng.random() < 0.25
@@ -238,6 +239,9 @@ def generate_sample(index: int, seed: int = 42, image_size=(224, 224),
         img = img * (1.0 - alpha[..., None]) + color * alpha[..., None]
         lane_lum = np.maximum(lane_lum, brightness * alpha)
         core |= alpha >= 0.72
+        line_info.append({"xs": xs, "width": float(width),
+                          "brightness": float(brightness),
+                          "wide": bool(wide)})
 
     painted = lane_lum > 1.0
     # Distractors: bright patches that are NOT lanes (reflections)
@@ -316,7 +320,8 @@ def generate_sample(index: int, seed: int = 42, image_size=(224, 224),
     if return_meta:
         meta = {"gain": float(gain), "wb": wb.tolist(), "blurred": blurred,
                 "scene": scene, "wedged": wedged, "wide_lines": wide_lines,
-                "degraded": degraded}
+                "degraded": degraded, "lines": line_info,
+                "wedge_params": wedge_params}
         return img, mask, meta
     return img, mask
 

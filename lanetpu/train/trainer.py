@@ -70,6 +70,7 @@ class Trainer:
                 self.cfg.num_val, seed=self.cfg.seed + 1,
                 image_size=tuple(self.cfg.image_size),
                 offset=self.cfg.num_train)
+            self.real_pool_used = 0
             if self.cfg.real_pool > 0:
                 from lanetpu.eval.real import assets_present
                 from lanetpu.train.realpool import (MixedDataset,
@@ -81,7 +82,19 @@ class Trainer:
                         RealCropLaneDataset(self.cfg.real_pool,
                                             seed=self.cfg.seed + 7,
                                             image_size=tuple(
-                                                self.cfg.image_size)))
+                                                self.cfg.image_size),
+                                            white_thr=self.cfg.real_pool_thr))
+                    self.real_pool_used = self.cfg.real_pool
+                else:
+                    # the run would otherwise silently train synthetic-only
+                    # while its recorded recipe claims a real pool
+                    import logging
+
+                    logging.getLogger("lanetpu").warning(
+                        "real_pool=%d requested but reference demo assets "
+                        "are not mounted — training synthetic-only "
+                        "(real_pool_used=0 recorded in checkpoint meta)",
+                        self.cfg.real_pool)
 
         steps_per_epoch = max(1, len(self.train_ds) // self.cfg.batch_size)
         self.steps_per_epoch = steps_per_epoch
@@ -98,7 +111,31 @@ class Trainer:
                 params=variables["params"],
                 batch_stats=variables.get("batch_stats",
                                           self.state.batch_stats))
-        self._train_step = jax.jit(make_train_step(self.cfg))
+        self._teacher_vars = None
+        if self.cfg.distill_checkpoint:
+            from lanetpu.quant.fold import fold_unet_batchnorm
+            from lanetpu.quant.functional_unet import unet_forward_folded
+            from lanetpu.runtime.engine import load_checkpoint
+            from lanetpu.train.steps import make_distill_train_step
+
+            meta_t, vars_t = load_checkpoint(self.cfg.distill_checkpoint)
+            feats_t = tuple(meta_t["features"])
+            s2d_t = int(meta_t.get("s2d", 1))
+            sig_t = bool(meta_t.get("final_sigmoid", False))
+            folded = (fold_unet_batchnorm(vars_t, feats_t)
+                      if "batch_stats" in vars_t else vars_t)
+
+            def teacher_fn(tv, x):
+                out = unet_forward_folded(tv, x, feats_t,
+                                          final_sigmoid=sig_t, s2d=s2d_t)
+                p = out[..., 0].astype(jnp.float32)
+                return p if sig_t else jax.nn.sigmoid(p)
+
+            self._teacher_vars = jax.device_put(folded, self.device)
+            self._train_step = jax.jit(
+                make_distill_train_step(self.cfg, teacher_fn))
+        else:
+            self._train_step = jax.jit(make_train_step(self.cfg))
         self._eval_step = jax.jit(make_eval_step(self.cfg))
         self.history: list[dict] = []
 
@@ -112,7 +149,11 @@ class Trainer:
         for i, (imgs, masks) in enumerate(_prefetch(batches, self.device)):
             key, sub = jax.random.split(key)
             x, y = augment_batch(imgs, masks, sub)
-            self.state, metrics = self._train_step(self.state, x, y)
+            if self._teacher_vars is not None:
+                self.state, metrics = self._train_step(
+                    self.state, self._teacher_vars, x, y)
+            else:
+                self.state, metrics = self._train_step(self.state, x, y)
             metrics_acc.append(metrics)
         stacked = {k: float(np.mean([float(m[k]) for m in metrics_acc]))
                    for k in metrics_acc[0]}
@@ -132,7 +173,7 @@ class Trainer:
 
     def _checkpoint_meta(self) -> dict:
         mcfg = self.module.config
-        return {
+        meta = {
             "arch": "unet",
             "in_channels": mcfg.in_channels,
             "out_channels": mcfg.out_channels,
@@ -140,6 +181,12 @@ class Trainer:
             "final_sigmoid": mcfg.final_sigmoid,
             "s2d": mcfg.s2d,
         }
+        if self.cfg.real_pool > 0:
+            meta["real_pool_used"] = getattr(self, "real_pool_used", 0)
+            meta["real_pool_thr"] = self.cfg.real_pool_thr
+        if self.cfg.distill_checkpoint:
+            meta["distilled_from"] = self.cfg.distill_checkpoint
+        return meta
 
     def save(self, path: str, extra: dict | None = None):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -170,7 +217,10 @@ class Trainer:
             print("compiling train step (first call; minutes-long remote "
                   "compiles are normal here)...", flush=True)
         t0 = _t.perf_counter()
-        state, _ = self._train_step(self.state, x, y)
+        if self._teacher_vars is not None:
+            state, _ = self._train_step(self.state, self._teacher_vars, x, y)
+        else:
+            state, _ = self._train_step(self.state, x, y)
         np.asarray(jax.tree_util.tree_leaves(state.params)[0][..., :1])
         if verbose:
             print(f"train step compiled in {_t.perf_counter() - t0:.1f}s",
@@ -182,6 +232,11 @@ class Trainer:
         epochs = epochs or cfg.epochs
         rng = np.random.default_rng(cfg.seed)
         best_dice, best_epoch, since_best = -1.0, -1, 0
+        tb = None
+        if cfg.tensorboard_dir:
+            from lanetpu.utils.tbwriter import TBWriter
+
+            tb = TBWriter(cfg.tensorboard_dir)
         self.warmup(verbose)
 
         for epoch in range(epochs):
@@ -193,6 +248,11 @@ class Trainer:
                       **{f"train_{k}": v for k, v in train_m.items()},
                       **{f"val_{k}": v for k, v in val_m.items()}}
             self.history.append(record)
+            if tb is not None:
+                tb.add_scalars(
+                    {f"train/{k}": v for k, v in train_m.items()}
+                    | {f"val/{k}": v for k, v in val_m.items()}, epoch)
+                tb.flush()
             if verbose:
                 print(f"epoch {epoch}: train loss {train_m['loss']:.4f} "
                       f"dice {train_m['dice']:.4f} | val loss "
@@ -219,6 +279,8 @@ class Trainer:
                           f"(best dice {best_dice:.4f} @ {best_epoch})")
                 break
 
+        if tb is not None:
+            tb.close()
         if cfg.save_dir:
             self.save(os.path.join(cfg.save_dir, "last_model.ltpu"),
                       {"epoch": epoch})
