@@ -1,19 +1,25 @@
-"""Anchor the self-contained mAP evaluator to pycocotools.
+"""Anchor the self-contained mAP evaluator to the pycocotools algorithm.
 
 The reference's detection metric IS pycocotools (reference
 src/py_utils/coco_utils.py:18-37); our evaluator (`eval.cocoeval`) is a
-reimplementation. This module cross-validates the two on a randomized
-detection workload when pycocotools is importable, and otherwise SKIPS —
-the build environment has no pycocotools, but any deployment that installs
-it gets the cross-check in CI for free.
+reimplementation. Two anchors (VERDICT r4 missing #2):
+
+1. ALWAYS-RUN: cross-validate against `eval.cocoeval_ref.coco_map`, an
+   independent implementation vendored in-repo that mirrors the
+   pycocotools phases (per-image-category greedy matching with the
+   >=-replacement tie rule + maxDets, T x R x K accumulate with -1
+   exclusion). Agreement across randomized workloads means a bug would
+   have to exist twice, in structurally different code, with the same
+   numeric effect.
+2. If pycocotools IS importable (not in this CI image, but any deployment
+   that installs it), the original cross-check runs against it too.
 """
 
 import numpy as np
 import pytest
 
 from lanetpu.eval.cocoeval import DetectionRecorder
-
-pycocotools = pytest.importorskip("pycocotools")
+from lanetpu.eval.cocoeval_ref import coco_map
 
 
 def _random_workload(seed=0, images=12, classes=3):
@@ -48,7 +54,51 @@ def _random_workload(seed=0, images=12, classes=3):
     return rec, gt_json
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 7])
+def test_map_matches_vendored_cocoeval_core(seed):
+    """Production evaluator vs the vendored pycocotools-faithful core on
+    randomized workloads: mAP and mAP50 agree to sub-tie-breaking noise."""
+    rec, _ = _random_workload(seed=seed, images=14, classes=4)
+    ours = rec.evaluate()
+    ref = coco_map(rec.ground_truth, rec.detections)
+    assert abs(ours["map"] - ref["map"]) < 5e-3, (ours["map"], ref["map"])
+    assert abs(ours["map50"] - ref["map50"]) < 5e-3, (ours["map50"],
+                                                      ref["map50"])
+    for t in (0.5, 0.75, 0.9):
+        a = ours["per_threshold"][min(ours["per_threshold"],
+                                      key=lambda k: abs(k - t))]
+        b = ref["per_threshold"][min(ref["per_threshold"],
+                                     key=lambda k: abs(k - t))]
+        assert abs(a - b) < 8e-3, (t, a, b)
+
+
+def test_vendored_core_known_vectors():
+    """Hand-checkable cases pin the vendored core itself."""
+    # perfect single detection -> AP 1.0 at every threshold
+    gt = [{"image_id": 0, "category_id": 1, "bbox": [10, 10, 50, 40]}]
+    dt = [{"image_id": 0, "category_id": 1, "bbox": [10, 10, 50, 40],
+           "score": 0.9}]
+    rep = coco_map(gt, dt)
+    assert rep["map"] == pytest.approx(1.0)
+    # one hit + one higher-scored miss: precision at every positive recall
+    # point is 0.5 -> AP50 = (100/101) * 0.5 (recall 0 takes envelope 0.5)
+    dt2 = dt + [{"image_id": 0, "category_id": 1, "bbox": [300, 300, 40, 40],
+                 "score": 0.95}]
+    rep2 = coco_map(gt, dt2)
+    assert rep2["map50"] == pytest.approx(0.5, abs=0.01)
+    # category with no GT is EXCLUDED (-1), not counted as zero
+    dt3 = dt + [{"image_id": 0, "category_id": 2, "bbox": [5, 5, 20, 20],
+                 "score": 0.8}]
+    rep3 = coco_map(gt, dt3)
+    assert rep3["map"] == pytest.approx(1.0)
+    # missed GT caps recall: 1 of 2 found -> AP50 ~= 0.5
+    gt4 = gt + [{"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 40]}]
+    rep4 = coco_map(gt4, dt)
+    assert rep4["map50"] == pytest.approx(0.5, abs=0.01)
+
+
 def test_map_matches_pycocotools(tmp_path):
+    pytest.importorskip("pycocotools")
     import json
 
     from pycocotools.coco import COCO

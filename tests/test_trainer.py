@@ -134,3 +134,38 @@ def test_trained_model_quantizes_end_to_end(tmp_path):
     m_fp = seg_fp.predict_batch(frames)
     m_i8 = seg_i8.predict_batch(frames)
     assert iou_score(m_i8 > 127, m_fp > 127) >= 0.7
+
+
+def test_distillation_step(tmp_path):
+    """TrainConfig.distill_checkpoint: the student trains against the
+    frozen teacher's soft probabilities inside one jitted step (VERDICT r4
+    item 2 — the s2d recovery lever). Metrics carry the distill term, and
+    a pure-distillation student (alpha=1, no hard-label gradient) still
+    learns the task through the teacher."""
+    import numpy as np
+
+    from lanetpu.core.config import TrainConfig
+    from lanetpu.train.trainer import Trainer
+
+    tdir = str(tmp_path / "teacher")
+    tcfg = TrainConfig(features=(4, 8), num_train=16, num_val=8,
+                       batch_size=8, epochs=3, save_dir=tdir,
+                       real_pool=0, early_stopping=False)
+    Trainer(tcfg).fit(verbose=False)
+
+    # constant lr: the default 5-epoch warmup would leave a 3-epoch run
+    # at near-zero lr and make the learning assertion flaky
+    scfg = TrainConfig(features=(4, 8), s2d=2, num_train=16, num_val=8,
+                       batch_size=8, epochs=5, save_dir="",
+                       distill_checkpoint=tdir + "/best_model.ltpu",
+                       distill_alpha=1.0, real_pool=0, scheduler="constant",
+                       learning_rate=1e-3, early_stopping=False)
+    res = Trainer(scfg).fit(verbose=False)
+    hist = res["history"]
+    assert "train_distill_bce" in hist[0]
+    assert all(np.isfinite(h["train_distill_bce"]) for h in hist)
+    # pure-soft-target training still moves toward the teacher
+    assert hist[-1]["train_distill_bce"] < hist[0]["train_distill_bce"]
+    # meta records the provenance
+    meta = Trainer(scfg)._checkpoint_meta()
+    assert meta["distilled_from"].endswith("best_model.ltpu")
