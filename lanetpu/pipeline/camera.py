@@ -73,9 +73,20 @@ class CameraSource:
 
     def __init__(self, bus: Bus | None = None,
                  topic: str = "/usb_cam/image_raw", device: int | str = 0,
-                 frame_shape: tuple = (480, 640, 3), ring_capacity: int = 8,
+                 frame_shape: tuple | None = None, ring_capacity: int = 8,
                  capture_factory: Callable | None = None,
-                 use_native_ring: bool = True, fps_limit: float | None = None):
+                 use_native_ring: bool = True, fps_limit: float | None = None,
+                 pixel_format: str = "bgr"):
+        """pixel_format "bgr": the capture yields [H, W, 3] BGR frames
+        (cv2 convention, default shape 480x640x3). "nv12": the capture
+        yields packed [3H/2, W] 4:2:0 buffers (camera-native layout,
+        default shape 720x640) — half the ring/channel bytes per frame;
+        pair with LaneStreamNode(pixel_format="nv12")."""
+        assert pixel_format in ("bgr", "nv12")
+        if frame_shape is None:
+            frame_shape = (720, 640) if pixel_format == "nv12" \
+                else (480, 640, 3)
+        self.pixel_format = pixel_format
         self.bus = bus or Bus()
         self.channel = self.bus.channel(topic, queue_size=1)
         self.device = device
@@ -182,12 +193,16 @@ class CameraSource:
 
 
 def _fit_frame(frame: np.ndarray, shape: tuple) -> np.ndarray:
-    """Center-crop / zero-pad a frame to the ring's static shape."""
+    """Center-crop / zero-pad a frame to the ring's static shape (2-D NV12
+    planes or 3-D BGR frames)."""
     out = np.zeros(shape, np.uint8)
     h = min(frame.shape[0], shape[0])
     w = min(frame.shape[1], shape[1])
-    c = min(frame.shape[2], shape[2])
     fy, fx = (frame.shape[0] - h) // 2, (frame.shape[1] - w) // 2
     oy, ox = (shape[0] - h) // 2, (shape[1] - w) // 2
+    if len(shape) == 2 or frame.ndim == 2:
+        out[oy:oy + h, ox:ox + w] = frame[fy:fy + h, fx:fx + w]
+        return out
+    c = min(frame.shape[2], shape[2])
     out[oy:oy + h, ox:ox + w, :c] = frame[fy:fy + h, fx:fx + w, :c]
     return out

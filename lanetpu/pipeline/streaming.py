@@ -173,12 +173,19 @@ class LaneStreamNode:
                  input_topic: str = "/image_rect_color",
                  output_topic: str = "/mask", warped: bool = True,
                  log_interval_s: float = 5.0,
-                 log_fn: Callable = print):
+                 log_fn: Callable = print, pixel_format: str = "bgr"):
+        """pixel_format "bgr": channel payloads are [H, W, 3] BGR frames
+        (the cv2/reference convention). "nv12": payloads are packed
+        [3H/2, W] camera-native 4:2:0 buffers (half the channel/ring
+        bandwidth; BT.601 decode fused on device — ops.yuv). Both feed
+        the same warp->segment program downstream."""
+        assert pixel_format in ("bgr", "nv12")
         self.segmenter = segmenter
         self.bus = bus or Bus()
         self.in_ch = self.bus.channel(input_topic, queue_size=1)
         self.out_ch = self.bus.channel(output_topic, queue_size=1)
         self.warped = warped
+        self.pixel_format = pixel_format
         self.log_interval_s = log_interval_s
         self.log_fn = log_fn
         self.frame_count = 0
@@ -191,7 +198,10 @@ class LaneStreamNode:
         if self._stop.is_set():
             return
         t0 = time.perf_counter()
-        if self.warped:
+        if self.pixel_format == "nv12":
+            mask = self.segmenter.predict_warped_nv12_batch(
+                frame_bgr[None])[0]
+        elif self.warped:
             mask, _ = self.segmenter.predict_warped(frame_bgr)
         else:
             mask, _ = self.segmenter.predict(frame_bgr[..., ::-1])

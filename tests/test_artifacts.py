@@ -239,30 +239,37 @@ def test_lane_unet_scene_table_recorded():
 
 
 @pytest.mark.parametrize("name,mode,gate", [
-    # xcoords: 64-sample round-4 values are 0.051 (r50) / 0.049 (r18) —
-    # the wide-soft-stripe distribution makes the mean-x label genuinely
-    # noisier than round 3's 0.042 (a 45-px-wide halo stripe's mean-x
-    # carries the halo asymmetry) — gate 0.07 keeps the usual
-    # small-sample margin above the measured values
-    ("points_xcoords.ltpu", "xcoords", 0.07),
-    ("points_xcoords_r18.ltpu", "xcoords", 0.07),  # TPU-economical tier
+    # xcoords: round-5 label convention = painted-line centers
+    # (points_task.xcoords_from_lines) — round 4's mask-mean-x labels
+    # carried the wide-soft-halo extent and forced the gate to 0.07
+    # (measured 0.051); the geometric labels restore a well-posed target
+    # and the 0.05 gate (VERDICT r4 item 3)
+    ("points_xcoords.ltpu", "xcoords", 0.05),
+    ("points_xcoords_r18.ltpu", "xcoords", 0.05),  # TPU-economical tier
     ("points_centerline.ltpu", "centerline", 0.05),
     ("points_centerline_r18.ltpu", "centerline", 0.05),
 ])
 def test_points_artifacts_val_mae(name, mode, gate, val_batch):
     from lanetpu.runtime.points import LanePointsRegressor
-    from lanetpu.train.points_task import points_from_mask
+    from lanetpu.train.points_task import points_from_mask, xcoords_from_lines
+    from lanetpu.train.synthetic import generate_sample
 
     reg = LanePointsRegressor.from_checkpoint(_art(name),
                                               compute_dtype="float32")
     assert reg.mode == mode
     imgs, masks = val_batch
     h, w = imgs.shape[1:3]
+    n = imgs.shape[0]
     raw = np.asarray(reg._jitted(reg.variables, jnp.asarray(imgs)))
     raw = np.clip(raw, 0.0, 1.0)
     errs = []
-    for r, m in zip(raw, masks):
-        labels, valid = points_from_mask(m, mode)
+    for i, (r, m) in enumerate(zip(raw, masks)):
+        if mode == "xcoords":
+            # val_batch renders indices 2048+i with seed 43 (fixture)
+            _, _, meta = generate_sample(2048 + i, 43, return_meta=True)
+            labels, valid = xcoords_from_lines(meta, (h, w))
+        else:
+            labels, valid = points_from_mask(m, mode)
         if valid.sum():
             errs.append((np.abs(r - labels) * valid).sum() / valid.sum())
     assert np.mean(errs) <= gate, np.mean(errs)
@@ -503,6 +510,70 @@ def test_hard_v2_ranks_again():
     flag, easy = rep["hard_trained_on_v2"], rep["easy_trained_on_v2"]
     assert flag["map50"] <= 0.97, flag
     assert flag["map50"] > easy["map50"], (flag, easy)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: hard-v2-trained detector tier, resolution sweep
+# ---------------------------------------------------------------------------
+
+
+def _round5_report():
+    path = os.path.join(ART, "round5_report.json")
+    if not os.path.exists(path):
+        pytest.skip("round5_report.json not present")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_yolo_v2_artifact():
+    """The v2-trained tier closes the round-4 gap (flagship 0.757 on v2
+    with nothing trained for it): recorded 64-sample mAP50 >= 0.85 on
+    hard-v2 while the v1 flagship stays clearly below it (the benchmark
+    still ranks — VERDICT r4 item 4), plus an on-the-spot small re-eval."""
+    rep = _round5_report().get("yolo_v2")
+    if not rep or "v2_trained_on_v2" not in rep:
+        pytest.skip("yolo_v2 stage not recorded")
+    v2 = rep["v2_trained_on_v2"]
+    v1 = rep["v1_flagship_on_v2"]
+    assert v2["map50"] >= 0.85, v2
+    assert v2["map50"] <= 0.97, v2  # still de-saturated
+    assert v2["map50"] > v1["map50"] + 0.03, (v2, v1)
+
+    from lanetpu.eval.detect_eval import evaluate_detector
+    from lanetpu.runtime.detector import YoloEngine
+
+    eng = YoloEngine.from_checkpoint(_art("yolo_hard_v2.ltpu"),
+                                     compute_dtype="float32")
+    small = evaluate_detector(eng, num_samples=16, hard="v2")
+    assert small["map50"] >= 0.75, small  # few-sample margin vs 64-sample
+
+
+def test_yolo_v2_int8_artifact():
+    from lanetpu.runtime.engine import load_checkpoint
+
+    meta, _ = load_checkpoint(_art("yolo_hard_v2_int8.ltpu"))
+    parity = meta["quant"]["parity"]
+    assert parity["mae_verdict"] == "good" and parity["mae"] < 0.05
+
+
+def test_res_sweep_recorded():
+    """The resolution-scaling table exists (reference README.md:4260-4265
+    publishes 128/224/320/480 latencies) and behaves physically: per-frame
+    time grows with resolution for each tier, every point has positive
+    fps + measured MFU."""
+    path = os.path.join(ART, "res_sweep.json")
+    if not os.path.exists(path):
+        pytest.skip("res_sweep.json not present")
+    with open(path) as f:
+        sweep = json.load(f)
+    for tier in ("parity", "s2d4"):
+        times = []
+        for res in (128, 224, 320, 480):
+            e = sweep.get(f"{tier}_{res}")
+            assert e, f"{tier}_{res} missing"
+            assert e["fps"] > 0 and e["ms_per_frame"] > 0
+            times.append(e["ms_per_frame"])
+        assert times == sorted(times), (tier, times)
 
 
 def test_readme_preset_artifact(val_batch):

@@ -97,3 +97,66 @@ def test_nv12_pipeline_matches_rgb_pipeline(rng):
     assert iou >= 0.99, iou
     # raw mask bytes nearly identical too (resize of at-most-1-LSB inputs)
     assert np.abs(mask_nv12.astype(int) - mask_rgb.astype(int)).mean() < 2.0
+
+
+def test_nv12_node_graph_end_to_end(rng):
+    """Production-position wiring: an NV12 camera source feeds the SPSC
+    ring -> channel -> LaneStreamNode(pixel_format='nv12'), and the
+    published masks match the BGR wiring on the same content (the
+    conversion moved on-device; the node graph semantics did not)."""
+    import time
+
+    from lanetpu.core.config import PipelineConfig, UNetConfig
+    from lanetpu.models.unet import UNet
+    from lanetpu.pipeline.camera import CameraSource
+    from lanetpu.pipeline.channels import Bus
+    from lanetpu.pipeline.streaming import LaneStreamNode
+    from lanetpu.runtime.lane import LaneSegmenter
+
+    base = rng.integers(0, 256, size=(1, 120, 160, 3)).astype(np.float32)
+    cam_rgb = np.repeat(np.repeat(base, 4, axis=1), 4, axis=2).astype(np.uint8)
+    y, uv = rgb_to_nv12(cam_rgb)
+    buf = nv12_pack(y, uv)[0]
+    decoded_bgr = nv12_to_rgb_reference(y, uv)[0][..., ::-1]
+
+    class FakeNV12Cap:
+        def __init__(self):
+            self.n = 0
+
+        def isOpened(self):
+            return True
+
+        def read(self):
+            if self.n >= 3:
+                time.sleep(0.01)
+                return False, None
+            self.n += 1
+            return True, buf
+
+        def release(self):
+            pass
+
+    cfg = PipelineConfig(backend="cpu", compute_dtype="float32",
+                         input_size=(32, 32))
+    seg = LaneSegmenter(module=UNet(config=UNetConfig(features=(4, 8))),
+                        config=cfg)
+    # expected mask BEFORE the node graph runs (shutdown() releases weights)
+    direct = seg.predict_batch(decoded_bgr[None], warped_input=True)[0]
+    bus = Bus()
+    masks = []
+    node = LaneStreamNode(seg, bus=bus, input_topic="/cam_nv12",
+                          pixel_format="nv12", log_fn=lambda *_: None)
+    bus.channel("/mask", queue_size=1).subscribe(masks.append)
+    src = CameraSource(bus=bus, topic="/cam_nv12", pixel_format="nv12",
+                       capture_factory=FakeNV12Cap, use_native_ring=False)
+    assert src.frame_shape == (720, 640)
+    assert src.start()
+    deadline = time.time() + 20
+    while not masks and time.time() < deadline:
+        time.sleep(0.05)
+    src.stop()
+    node.shutdown()
+    assert masks, "no mask published"
+    a, b = masks[0] > 127, direct > 127
+    union = np.logical_or(a, b).sum()
+    assert (np.logical_and(a, b).sum() / union if union else 1.0) >= 0.99
