@@ -122,13 +122,15 @@ class PipelineConfig:
     threshold: float = 0.5
     # Decision threshold for the CAMERA production path (predict_warped:
     # warp -> segment, reference src/unet_ros_node.py:292-321). Calibrated
-    # on the published real bird's-eye POOL frames (normal_raw + IPM.jpg,
-    # never the golden eval frame): capture/warp smear systematically
-    # weakens per-pixel evidence on this path, and 0.25 maximizes pool IoU
-    # vs photometric truth at precision >= 0.96 (scripts/diag_golden.py
-    # sweep; pool IoU 0.818 -> 0.838 at precision 0.965). The generic
+    # on the published real bird's-eye POOL frames + their capture-degraded
+    # variants (normal_raw + IPM.jpg, never the golden eval frame):
+    # capture/warp smear systematically weakens per-pixel evidence on this
+    # path. Round-5 recalibration on the scoring-convention pool
+    # (scripts/round5.py thr_calib): 0.20 is the IoU-maximizing point
+    # subject to pool precision >= 0.95 (pool IoU 0.791 at min precision
+    # 0.953; round 4's value was 0.25 on the thr-150 pool). The generic
     # `threshold` above stays the bird's-eye/offline default.
-    warped_threshold: float = 0.25
+    warped_threshold: float = 0.20
     input_topic: str = "/image_rect_color"
     output_topic: str = "/mask"
     input_size: tuple = (224, 224)
