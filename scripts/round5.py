@@ -106,6 +106,22 @@ def stage_unet_s2d4():
                 distill="artifacts/lane_unet/best_model.ltpu")
 
 
+def stage_s2d4_capacity():
+    """Width-capacity probe for the s2d4 plateau (VERDICT r4 item 2's
+    alternative branch): four independent schedules put the SHIPPED
+    48/96/192 s2d4 tier at 0.974-0.978 (120ep r4 0.9780; 40ep warm-start
+    no-beat; 150ep/768 0.9743; 120ep distill-from-0.9812 r5 0.9775),
+    while the identical distill recipe lifts s2d2 past 0.98 (0.9805). If
+    ONE wider s2d4 variant (64/128/256, ~1.77x the FLOPs) clears 0.98
+    under the same recipe, the plateau is demonstrated to be width
+    capacity at 4x packing, not training budget. Study artifact only
+    (artifacts/_s2d4_capacity, gitignored) — the shipped tier keeps its
+    speed point."""
+    _train_unet("s2d4_capacity", "artifacts/_s2d4_capacity", s2d=4,
+                features=(64, 128, 256), epochs=120,
+                distill="artifacts/lane_unet/best_model.ltpu")
+
+
 def stage_thr_calib():
     """Camera-path operating point, recalibrated on the round-5 pool
     convention: sweep the decision threshold over the POOL frames
@@ -455,6 +471,7 @@ STAGES = {
     "thr_calib": stage_thr_calib,
     "unet_s2d2": stage_unet_s2d2,
     "unet_s2d4": stage_unet_s2d4,
+    "s2d4_capacity": stage_s2d4_capacity,
     "quant_unet": stage_quant_unet,
     "scenes": stage_scenes,
     "real_eval": stage_real_eval,

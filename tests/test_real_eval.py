@@ -65,13 +65,12 @@ def test_ipm_homography_matches_published_trapezoid():
 
 
 @pytest.mark.parametrize("path,quant,gate", [
-    # gates = measured round-4 values minus margin (parity 0.819/0.817,
-    # int8 within 0.001, s2d4 0.803/0.806 — the halo-label convention
-    # trades ~0.02 of tight-stripe IoU here for the golden-frame
-    # production-path gains gated below)
-    ("lane_unet/best_model.ltpu", False, 0.78),
-    ("lane_unet/model_int8.ltpu", True, 0.78),
-    ("lane_unet_s2d4/best_model.ltpu", False, 0.78),
+    # gates = measured round-5 values minus margin (parity 0.845/0.847,
+    # int8 within 0.001, s2d4 0.826/0.824 — the scoring-convention pool
+    # labels lifted every tier ~0.02 over round 4; round-4 gate was 0.78)
+    ("lane_unet/best_model.ltpu", False, 0.81),
+    ("lane_unet/model_int8.ltpu", True, 0.81),
+    ("lane_unet_s2d4/best_model.ltpu", False, 0.81),
 ])
 def test_real_birdseye_quality(path, quant, gate):
     """Lane IoU vs photometric truth on BOTH real bird's-eye frames."""
@@ -117,10 +116,11 @@ def test_real_condition_stability():
     assert set(scores) == {"strong_light", "dim_light", "wb_yellow",
                            "wb_blue", "shadow"}
     for cond, s in scores.items():
-        # round-4 measured 0.886 (wb_blue) - 0.972 (dim_light) on the
-        # parity tier — the per-channel WB gain augmentation lifted
-        # wb_blue from round-3's 0.743; gate raised 0.70 -> 0.84
-        assert s["iou"] >= 0.84, (cond, s)
+        # round-5 measured 0.892 (strong_light) - 0.978 (shadow) on the
+        # parity tier (round 4: 0.886-0.972 with wb_blue weakest; the
+        # convention-matched retrain moved the floor up and wb_blue to
+        # 0.937); gate raised 0.84 -> 0.87
+        assert s["iou"] >= 0.87, (cond, s)
 
 
 def test_centerline_recall_ceiling_is_measured():
