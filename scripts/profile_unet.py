@@ -102,6 +102,17 @@ def profile_artifact(path: str, batch: int = 256, out_path: str | None = None,
     x = jax.device_put(jnp.asarray(
         rng.normal(size=(batch, 224, 224, 3)).astype(np.float32)))
 
+    def reduced(mod):
+        """Prefix program with a scalar-sum epilogue: forces the whole
+        prefix to execute but avoids materializing the (potentially
+        enormous) intermediate to HBM — which the REAL program also never
+        does at fusion boundaries. Without this, wide full-res prefixes
+        (readme preset: 224²x64 bf16 = 6.4 MB/frame at enc0) spend more
+        time writing their return value than computing, and marginals go
+        negative (observed: pool0 −6.7 ms, head −22.9 ms at batch 64)."""
+        return jax.jit(lambda xx, m=mod: jnp.sum(
+            m.apply(variables, xx).astype(jnp.float32)))
+
     def timed(fn):
         out = fn(x)
         device_sync(out)
@@ -118,8 +129,7 @@ def profile_artifact(path: str, batch: int = 256, out_path: str | None = None,
     results = {"_artifact": path, "_batch": batch}
     prev = 0.0
     for stop in stops:
-        mod = PrefixUNet(stop=stop)
-        fn = jax.jit(lambda xx, m=mod: m.apply(variables, xx))
+        fn = reduced(PrefixUNet(stop=stop))
         t0 = time.time()
         ms = timed(fn)
         results[stop] = {"prefix_ms": round(ms, 3),
